@@ -1,0 +1,64 @@
+"""Benchmark harness — runs the engine's catalog queries at a scale factor.
+
+Prints ONE JSON line:
+  {"metric": "catalog_suite", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[] parallelism (default 32)
+
+Each query is forced with the ``noop`` sink — full execution on the
+executors, zero result-collection cost, which is what a cluster deployment
+measures too.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bridge_monitoring_pyspark_spark.plans.catalog import all_queries  # noqa: E402
+from bridge_monitoring_pyspark_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    catalog = all_queries()
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # query, not first-touch session costs.
+    next(iter(catalog.values())).build(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    t_suite = time.time()
+    for name, q in sorted(catalog.items()):
+        t0 = time.time()
+        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_suite, 3)
+
+    print(json.dumps({
+        "metric": "catalog_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

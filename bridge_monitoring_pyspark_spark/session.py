@@ -1,0 +1,82 @@
+"""SparkSession factory with scale-aware defaults.
+
+The reference creates four bare sessions with no tuning beyond a Windows IO
+workaround (reference: pipelines/bronze_ingest.py:11-16). The new engine
+centralizes session construction so every entry point (driver contract, bench,
+tests, streaming jobs) gets the same deliberately-chosen configs:
+
+* **AQE on** — runtime coalescing of shuffle partitions, skew-join splitting,
+  and dynamic join-strategy demotion are what make a fixed logical plan
+  survive a 100x data scale-up without retuning.
+* **UTC session timezone** — all event-time semantics (windows, watermarks)
+  and the DuckDB oracle comparison are timezone-free.
+* **Arrow on** — any pandas_udf/mapInPandas extension operator moves data in
+  columnar Arrow batches, not pickled rows.
+* **shuffle.partitions** sized for the test harness (local[32]); on a real
+  cluster this is superseded by AQE's coalescing from
+  ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+APP_NAME = "bridge-monitoring-pyspark-spark"
+
+
+def default_configs(shuffle_partitions: int | None = None) -> dict[str, str]:
+    """Engine-wide Spark confs. Kept as data so tests/bench can introspect."""
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return {
+        # Determinism / oracle alignment
+        "spark.sql.session.timeZone": "UTC",
+        # Adaptive execution: coalesce small shuffles, split skewed ones.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # Arrow for the pandas_udf extension surface.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Parquet scans: vectorized reader + pushdown are defaults, stated
+        # explicitly because the bench depends on them.
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.enableVectorizedReader": "true",
+        # Streaming: RocksDB state store scales to 100 TB-era state sizes
+        # (HDFS-backed in-memory default does not).
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+        # The driver testdata parquet stores TIMESTAMP(NANOS) which Spark has
+        # no native type for; read as long and convert in the loader
+        # (sources/readers.py TIMESTAMP_COLS).
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Quieter local runs.
+        "spark.ui.showConsoleProgress": "false",
+    }
+
+
+def get_spark(
+    master: str | None = None,
+    app_name: str = APP_NAME,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` so the same code path
+    serves the driver harness, bench.py, and pytest. On a real cluster the
+    caller passes no master and spark-submit supplies it.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master:
+        builder = builder.master(master)
+    confs = default_configs()
+    if extra_confs:
+        confs.update(extra_confs)
+    for k, v in confs.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

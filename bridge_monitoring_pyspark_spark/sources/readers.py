@@ -1,0 +1,66 @@
+"""Batch + streaming source readers.
+
+Reference parity (SURVEY.md §2.1):
+  S1 streaming JSON source   -> read_json_stream
+  S3 streaming parquet source-> read_parquet_stream
+  S4 static CSV dimension    -> read_csv_dim
+  S5 static parquet          -> load_table / load_tables
+
+Scale notes (100 TB): all readers take explicit schemas — schema inference
+over an unbounded landing zone is both non-deterministic and a full-scan cost.
+Partition discovery (reference data layout ``date=YYYY-MM-DD``, SURVEY.md §1.2)
+is left to Spark's file source; writers in sinks.py make the partition column
+deliberate via ``partitionBy``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from pyspark.sql import functions as F
+
+from ..schemas import TESTDATA_TABLES
+
+# Driver testdata stores TIMESTAMP(NANOS) columns, which Spark reads only as
+# long (spark.sql.legacy.parquet.nanosAsLong). These are converted back to
+# TimestampType here, with integer DIV so no precision is lost at 2^63-scale
+# nanosecond values. Testdata-only accommodation — production tables use
+# micros (Spark's native parquet timestamp).
+TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Batch-read one driver testdata table (TESTDATA.md)."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in TIMESTAMP_COLS.get(name, ()):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Batch-read all driver testdata tables as a dict of DataFrames."""
+    return {name: load_table(spark, sf_dir, name) for name in TESTDATA_TABLES}
+
+
+def read_csv_dim(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Static dimension table: header CSV with explicit schema
+    (reference: pipelines/silver_enrichment.py:29-34)."""
+    return spark.read.option("header", "true").schema(schema).csv(path)
+
+
+def read_json_stream(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Unbounded JSON-lines directory with explicit schema
+    (reference: pipelines/bronze_ingest.py:26-42)."""
+    return spark.readStream.schema(schema).json(path)
+
+
+def read_parquet_stream(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Growing parquet directory as a stream
+    (reference: pipelines/silver_enrichment.py:48-67)."""
+    return spark.readStream.format("parquet").schema(schema).load(path)

@@ -1,0 +1,99 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every catalog query on Spark AND its DuckDB oracle at sf=0.01, then
+compares row count, schema width, and an order-insensitive value comparison
+(columns sorted by name, rows sorted, values stringified). Stricter than a
+hash compare: prints the first differing rows on mismatch.
+
+Usage:  python tools/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm_val(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver hashes exact values; we round at 1e-9 to catch real bugs
+        # while tolerating representation noise the queries already rounded away
+        return f"{v:.9g}"
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_val(x) for x in v) + "]"
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(norm_val(r[i]) for i in order) for r in rows)
+
+
+def main() -> int:
+    from bridge_monitoring_pyspark_spark.plans.catalog import all_queries
+    from bridge_monitoring_pyspark_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark(master="local[8]", extra_confs={"spark.sql.shuffle.partitions": "8"})
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    failures = []
+    for name, q in sorted(all_queries().items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = q.build(spark, SF_DIR)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        if q.oracle is None:
+            print(f"  {name:32s} rows={len(srows):6d}  (no oracle — rows-only) "
+                  f"[{time.time()-t0:.1f}s]")
+            if len(srows) == 0:
+                failures.append((name, "0 rows from rows-only query"))
+            continue
+        res = con.execute(q.oracle)
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
+        if not problems:
+            a, b = norm_rows(scols, srows), norm_rows(dcols, drows)
+            if a != b:
+                diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                problems.append(f"values differ, first diffs: {diffs}")
+        status = "OK " if not problems else "FAIL"
+        print(f"  {name:32s} rows={len(srows):6d}  {status} [{time.time()-t0:.1f}s]")
+        for p in problems:
+            print(f"      {p}")
+            failures.append((name, p))
+    print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
