@@ -1,0 +1,74 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct; decode / feature-extraction runs as ``mapInPandas`` over
+Arrow batches, so payload bytes move columnar-batched (never row-pickled)
+and the Python stage parallelizes per partition.
+
+The decode step itself is STUBBED: the real image/audio libraries are not
+in this container, so :func:`extract_features` computes deterministic
+byte-level features (and the place where PIL/ffmpeg would slot in raises
+``NotImplementedError``). The Spark-side plumbing — schema, batching,
+partitioning, UDF signature — is real and tested.
+
+Scale notes: binary payloads dominate row width; keep
+``spark.sql.files.maxPartitionBytes`` at its default 128 MB so tasks stay
+memory-bounded, and never groupBy/shuffle the payload column — project the
+features out first, then drop the bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id long, mime string, byte_len long, first_byte int, n_spaces long"
+)
+
+
+def with_binary_payload(df: DataFrame, text_col: str, mime: str = "text/plain") -> DataFrame:
+    """Attach an opaque binary payload + metadata struct (here derived from
+    text since the container ships no media files; a real pipeline reads
+    ``binaryFile`` sources into exactly this shape)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "meta",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.length(payload).alias("byte_len"),
+        ),
+    )
+
+
+def decode_media(payload: bytes, mime: str) -> object:
+    """Where PIL/librosa/ffmpeg would decode the payload. Stubbed: the
+    container has no media libraries (see module docstring)."""
+    raise NotImplementedError(f"no decoder available for {mime} in this environment")
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over (doc_id, payload, meta).
+
+    Deterministic byte-level stand-ins for decoded features: payload length,
+    first byte value, space count. Batch shape: pandas DataFrames of
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` rows.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["meta"].map(lambda m: m["mime"]),
+                    "byte_len": payloads.map(len),
+                    "first_byte": payloads.map(lambda b: b[0] if len(b) else -1),
+                    "n_spaces": payloads.map(lambda b: b.count(b" ")),
+                }
+            )
+
+    return df.select("doc_id", "payload", "meta").mapInPandas(batches, FEATURE_SCHEMA)

@@ -1,0 +1,126 @@
+"""Tests for the LLM-data extension operators that have no SQL oracle:
+SimHash (vs a pure-Python reimplementation), MinHash-LSH (vs brute force),
+IVF ANN recall (vs brute force), multimodal Arrow plumbing."""
+
+from __future__ import annotations
+
+import ctypes
+
+from pyspark.sql import functions as F
+
+from bridge_monitoring_pyspark_spark.functions.text import words
+from bridge_monitoring_pyspark_spark.operators.dedup import (
+    jaccard_pairs_inverted_index,
+    lsh_candidate_pairs,
+    simhash64,
+    token_hashes,
+    verify_candidates_jaccard,
+    with_shingles,
+)
+from bridge_monitoring_pyspark_spark.operators.multimodal import (
+    extract_features,
+    with_binary_payload,
+)
+from bridge_monitoring_pyspark_spark.plans.catalog import all_queries
+from bridge_monitoring_pyspark_spark.sources.readers import load_table
+
+from conftest import SF_SMOKE
+
+
+def test_simhash_matches_python_reference(spark):
+    d = load_table(spark, SF_SMOKE, "documents").limit(20)
+    hashed = d.withColumn("__th", token_hashes(words(F.col("text"))))
+    rows = hashed.select(
+        "doc_id", "__th", simhash64("__th").alias("simhash")
+    ).collect()
+    assert len(rows) == 20
+    for r in rows:
+        hashes = r["__th"]
+        expected = 0
+        for b in range(64):
+            votes = sum(
+                1 if ((h + (1 << 64)) if h < 0 else h) >> b & 1 else -1
+                for h in hashes
+            )
+            if votes > 0:
+                expected |= 1 << b
+        assert ctypes.c_int64(expected).value == r["simhash"], f"doc {r['doc_id']}"
+
+
+def test_simhash_near_identical_texts_close(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again today"),
+            (2, "the quick brown fox jumps over the lazy dog again and again tonight"),
+            (3, "completely different words about spark catalyst tungsten shuffles exchange"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r.doc_id: r.simhash
+        for r in df.withColumn("__th", token_hashes(words(F.col("text"))))
+        .select("doc_id", simhash64("__th").alias("simhash"))
+        .collect()
+    }
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")
+    assert ham(rows[1], rows[2]) < ham(rows[1], rows[3])
+    assert ham(rows[1], rows[2]) <= 8
+
+
+def test_lsh_equals_bruteforce(spark):
+    d = with_shingles(load_table(spark, SF_SMOKE, "documents"), "text", 3)
+    brute = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs_inverted_index(d, "doc_id", 0.8).collect()
+    }
+    cands = lsh_candidate_pairs(d, "doc_id", 128, 4)
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in verify_candidates_jaccard(cands, d, "doc_id", 0.8).collect()
+    }
+    assert brute == lsh
+    assert len(brute) > 0  # the testdata plants near-dup pairs
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    qs = all_queries()
+    exact = qs["ann_cosine_topk"].build(spark, SF_SMOKE).collect()
+    approx = qs["ann_ivf_topk"].build(spark, SF_SMOKE).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    # embeddings are near-uniform (max pairwise cos ~0.51), the hardest case
+    # for IVF; with 3/10 probes uniform-random recall would be ~0.3
+    assert mean_recall >= 0.3, f"IVF recall collapsed: {mean_recall}"
+
+
+def test_multimodal_plumbing(spark):
+    d = load_table(spark, SF_SMOKE, "documents").limit(10)
+    payload = with_binary_payload(d, "text")
+    schema = dict(payload.dtypes)
+    assert schema["payload"] == "binary"
+    assert schema["meta"].startswith("struct<mime:string,byte_len:int")
+    feats = extract_features(payload).collect()
+    src = {r.doc_id: r.text for r in d.collect()}
+    for r in feats:
+        assert r.byte_len == len(src[r.doc_id].encode())
+        assert r.first_byte == src[r.doc_id].encode()[0]
+        assert r.n_spaces == src[r.doc_id].count(" ")
+        assert r.mime == "text/plain"
+
+
+def test_decode_media_is_stubbed():
+    import pytest
+
+    from bridge_monitoring_pyspark_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x89PNG", "image/png")
