@@ -1,0 +1,188 @@
+"""Structured Streaming jobs — the medallion pipeline, re-expressed.
+
+Mirrors the reference's three pipeline programs (bronze ingest → silver
+enrichment → gold aggregation; reference: pipelines/bronze_ingest.py,
+silver_enrichment.py, gold_aggregation.py) with the design fixes SURVEY.md
+§7 Phase 2 calls for:
+
+* **availableNow trigger** for deterministic, testable runs (the reference
+  uses the default ASAP trigger and must be killed by hand);
+* **static schema registry** instead of gold's runtime batch-sampling of
+  silver (reference: pipelines/gold_aggregation.py:27-28), removing the
+  startup ordering dependency;
+* **awaitAnyTermination** over all sinks instead of blocking on one query
+  and ignoring failures of the rest (reference: pipelines/bronze_ingest.py:105);
+* **deliberate partitionBy(partition_date)** where the reference leaked an
+  accidental discovered `date` column (SURVEY.md §1.2);
+* **RocksDB state store** (session.py) so window-agg + join state scales
+  past executor heap at 100 TB.
+
+Streaming semantics that matter for the oracle: with availableNow the file
+source drains in one batch, then the engine runs a no-data flush batch once
+the watermark advances — so append-mode output contains exactly the windows
+whose end <= global watermark, where the global watermark is
+min over watermarked branches of (max event time) − delay. That closed-form
+is what plans/streaming_q.py's DuckDB oracles encode.
+
+Each query gets its own checkpoint dir (exactly-once restart contract,
+reference README.md:268-270).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.dq import SensorRules, split_valid_invalid
+
+# Streaming-side schema for the driver's events table: ts arrives as
+# TIMESTAMP(NANOS) parquet → long under nanosAsLong (see sources/readers.py).
+EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet source over the events table (S3 in SURVEY.md §2.1),
+    with the nanos→timestamp conversion applied as a narrow projection."""
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW)
+        # the driver testdata is a single file, not a directory; a glob path
+        # makes the file-stream source anchor its basePath at the parent dir
+        .load(f"{sf_dir}/events*.parquet")
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _write(
+    df: DataFrame, out_dir: str, name: str, available_now: bool, partition_by: str | None = None
+):
+    w = (
+        df.writeStream.format("parquet")
+        .option("path", os.path.join(out_dir, name))
+        .option("checkpointLocation", os.path.join(out_dir, f"_chk_{name}"))
+        .outputMode("append")
+    )
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def run_bronze(
+    spark: SparkSession, sf_dir: str, out_dir: str, available_now: bool = True
+) -> dict[str, str]:
+    """Bronze: derive partition_date, null-split, route valid/rejected to
+    separate checkpointed sinks; valid is date-partitioned
+    (reference: pipelines/bronze_ingest.py:44-103)."""
+    events = read_events_stream(spark, sf_dir).withColumn(
+        "partition_date", F.to_date("ts")
+    )
+    valid, invalid = split_valid_invalid(
+        events, F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    queries = [
+        _write(valid, out_dir, "bronze_valid", available_now, partition_by="partition_date"),
+        _write(invalid.drop("partition_date"), out_dir, "bronze_rejected", available_now),
+    ]
+    if available_now:
+        for q in queries:
+            q.awaitTermination()
+    else:  # pragma: no cover - interactive mode
+        spark.streams.awaitAnyTermination()
+    return {
+        "valid": os.path.join(out_dir, "bronze_valid"),
+        "rejected": os.path.join(out_dir, "bronze_rejected"),
+    }
+
+
+def run_silver(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    rules: SensorRules,
+    available_now: bool = True,
+) -> dict[str, str]:
+    """Silver: per-type DQ range rules split + broadcast stream-static LEFT
+    join against the customer dimension
+    (reference: pipelines/silver_enrichment.py:70-143)."""
+    events = read_events_stream(spark, sf_dir)
+    valid, invalid = split_valid_invalid(events, rules.valid_condition())
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    enriched = valid.join(F.broadcast(dim), on="user_id", how="left")
+    queries = [
+        _write(enriched, out_dir, "silver_valid", available_now),
+        _write(invalid, out_dir, "silver_rejected", available_now),
+    ]
+    if available_now:
+        for q in queries:
+            q.awaitTermination()
+    else:  # pragma: no cover
+        spark.streams.awaitAnyTermination()
+    return {
+        "valid": os.path.join(out_dir, "silver_valid"),
+        "rejected": os.path.join(out_dir, "silver_rejected"),
+    }
+
+
+def run_gold(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 minutes",
+    available_now: bool = True,
+) -> str:
+    """Gold: three watermarked tumbling-window aggregates stream-stream
+    INNER-joined on the window struct, flattened, one checkpointed sink —
+    the chained-stateful-operators flagship
+    (reference: pipelines/gold_aggregation.py:52-118)."""
+    events = read_events_stream(spark, sf_dir)
+    win = F.window("ts", window)
+
+    def branch(evt_type: str, agg, out_name: str) -> DataFrame:
+        return (
+            events.where(F.col("event_type") == evt_type)
+            .withWatermark("ts", watermark)
+            .groupBy(win.alias("window"))
+            .agg(F.round(agg, 4).alias(out_name))
+        )
+
+    clicks = branch("click", F.avg("value"), "avg_click_value")
+    views = branch("view", F.max("value"), "max_view_value")
+    errors = branch("error", F.max("value"), "max_error_value")
+    joined = clicks.join(views, on="window", how="inner").join(
+        errors, on="window", how="inner"
+    )
+    flat = joined.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "avg_click_value",
+        "max_view_value",
+        "max_error_value",
+    )
+    q = _write(flat, out_dir, "gold_metrics", available_now)
+    if available_now:
+        q.awaitTermination()
+    else:  # pragma: no cover
+        spark.streams.awaitAnyTermination()
+    return os.path.join(out_dir, "gold_metrics")
