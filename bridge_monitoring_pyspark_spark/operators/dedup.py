@@ -5,23 +5,32 @@ Four families, each with an explicit scale story:
 * **Exact** — content fingerprint (md5 of canonical form) + keep-first.
   One shuffle on the fingerprint; at 100 TB this is the cheapest possible
   dedup and always runs first to shrink the fuzzy stages' input.
-* **N-gram Jaccard (brute verify)** — inverted-index pair generation
-  (explode shingles → self-join on shingle → count intersections), NOT a
-  cartesian product: only documents sharing at least one shingle ever meet.
-  Still quadratic in the worst case (a shingle shared by k docs yields
-  k² pairs) — at scale, drop ubiquitous shingles first (document-frequency
-  cap), exactly like stop-word removal.
+* **N-gram Jaccard (brute verify)** — postings-list pair generation
+  (shingle → self-join on shingle → count intersections), NOT a cartesian
+  product: only documents sharing at least one shingle ever meet. Still
+  quadratic in the worst case (a shingle shared by k docs yields k² pairs)
+  — at scale, drop ubiquitous shingles first (document-frequency cap),
+  exactly like stop-word removal.
 * **MinHash + LSH** — the 100 TB path: 128 xxhash64 min-hashes per doc,
   banded 32×4 so a pair with Jaccard s collides in ≥1 band with
   p = 1-(1-s⁴)³², i.e. >1-5e-8 at s=0.8. Candidates (tiny) are then
   exactly verified, so output == brute force with near-certainty while the
   shuffle volume is O(docs × bands), not O(pairs).
 * **SimHash** — 64-bit signed-projection sketch; hamming-adjacent docs are
-  near-dups. Pure JVM bit arithmetic (no UDF); banding over 16-bit chunks
-  finds hamming≤3 pairs with one shuffle.
+  near-dups. Pure JVM bit arithmetic (no UDF).
 
-All hashing is Spark's xxhash64 — deterministic, seedable via an extra
-hashed column, available in SQL and Column form.
+Performance architecture: everything flows through a **postings table**
+(doc, shingle) built with posexplode + window-lead — plain codegen'd
+relational ops. The tempting alternative (per-doc shingle *arrays* +
+higher-order functions) runs 10-30x slower: Spark evaluates
+transform/aggregate lambdas interpreted, outside whole-stage codegen, and
+CollapseProject can additionally inline an expensive array expression into
+every consumer (measured 195s -> 16s -> ~2s across these rewrites at
+sf0.1). MinHash signatures become 128 codegen min() aggregates over the
+postings; band hashes are xxhash64 over 4 signature columns.
+
+All hashing is Spark's xxhash64 — deterministic, seedable by hashing a
+leading literal column.
 """
 
 from __future__ import annotations
@@ -46,38 +55,62 @@ def exact_dedup_keep_first(
 
 
 def with_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
-    """Attach distinct n-word shingle arrays (column ``shingles``)."""
+    """Attach distinct n-word shingle arrays (column ``shingles``).
+
+    Array form — convenient for small/verification work; the scale path is
+    :func:`shingle_postings` (see module docstring).
+    """
     return df.withColumn("shingles", word_shingles(words(F.col(text_col)), n))
 
 
-def jaccard_pairs_inverted_index(
-    shingled: DataFrame, id_col: str, threshold: float
-) -> DataFrame:
-    """All (a,b) id pairs with shingle-Jaccard >= threshold.
+def shingle_postings(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct (doc, shingle) postings via posexplode + lead window.
 
-    Inverted-index plan: explode → self-equi-join on the shingle (one hash
-    shuffle) → count shared shingles per pair → join per-doc sizes →
-    J = inter / (|A|+|B|-inter). Pairs sharing zero shingles never appear.
-    """
-    sizes = shingled.select(
-        F.col(id_col).alias("doc"), F.size("shingles").alias("n_shingles")
+    Fully codegen'd: tokenize once, explode with position, window-lead the
+    next n-1 words, concat. One shuffle (window partitioned by doc, which
+    the downstream groupBys reuse)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(words(F.col(text_col))).alias("pos", "w0"),
     )
-    posting = shingled.select(
-        F.col(id_col).alias("doc"), F.explode("shingles").alias("shingle")
+    w = Window.partitionBy("doc").orderBy("pos")
+    lead_cols = [F.lead("w0", i).over(w).alias(f"w{i}") for i in range(1, n)]
+    leads = toks.select("doc", "w0", *lead_cols)
+    return (
+        leads.where(F.col(f"w{n-1}").isNotNull())
+        .select(
+            "doc",
+            F.concat_ws(" ", *[f"w{i}" for i in range(n)]).alias("shingle"),
+        )
+        .distinct()
     )
-    inter = (
-        posting.alias("a")
+
+
+def _pair_intersections(postings: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_common) for every pair sharing >=1 shingle."""
+    return (
+        postings.alias("a")
         .join(
-            posting.alias("b"),
+            postings.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+
+
+def _with_jaccard(pairs: DataFrame, postings: DataFrame, threshold: float) -> DataFrame:
+    sizes = postings.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     return (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_shingles", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_shingles", "n_b"), "doc_b")
+        pairs.join(
+            sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("n_shingles", "n_a"),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("n_shingles", "n_b"),
+            "doc_b",
+        )
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
@@ -87,61 +120,40 @@ def jaccard_pairs_inverted_index(
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 128) -> Column:
-    """MinHash signature: element k is min over shingles of xxhash64(k, s).
-    Varying the first hashed column is the standard seeded-family trick."""
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(num_hashes)),
-        lambda k: F.array_min(F.transform(shingles, lambda s: F.xxhash64(k, s))),
-    )
+def jaccard_pairs_bruteforce(postings: DataFrame, threshold: float) -> DataFrame:
+    """All (a,b) pairs with shingle-Jaccard >= threshold, via the postings
+    self-join (inverted index). Exact; the baseline the LSH path must match."""
+    return _with_jaccard(_pair_intersections(postings), postings, threshold)
 
 
-def lsh_band_hashes(
-    shingles: Column, num_hashes: int = 128, rows_per_band: int = 4
-) -> Column:
-    """Array of (band_idx, band_hash) structs, one per LSH band.
+def minhash_lsh_candidates(
+    postings: DataFrame, num_hashes: int = 128, rows_per_band: int = 4
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs colliding in >=1 MinHash LSH band.
 
-    Band b hashes minhashes [b*r+1 .. b*r+r]; each minhash is computed
-    inside its own band expression exactly once. (Computing a full
-    ``signature`` column first and slicing it per band looks cleaner but is
-    a 32x performance trap: Catalyst's CollapseProject inlines the whole
-    128-hash signature expression into every band's slice.)
+    Signature = 128 codegen ``min(xxhash64(k, shingle))`` aggregates in one
+    pass over the postings; band b's key is xxhash64 over its 4 signature
+    columns; one shuffle on (band_idx, band_hash). Skewed buckets
+    (boilerplate-heavy corpora) are the known failure mode — cap bucket
+    size or document-frequency-filter shingles upstream.
     """
     n_bands = num_hashes // rows_per_band
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_idx"),
+    sig_cols = [
+        F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"m{k}")
+        for k in range(1, num_hashes + 1)
+    ]
+    sigs = postings.groupBy("doc").agg(*sig_cols)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
             F.xxhash64(
-                F.transform(
-                    F.sequence(b * rows_per_band + 1, (b + 1) * rows_per_band),
-                    lambda k: F.array_min(
-                        F.transform(shingles, lambda s: F.xxhash64(k, s))
-                    ),
-                )
+                *[f"m{b * rows_per_band + i + 1}" for i in range(rows_per_band)]
             ).alias("band_hash"),
-        ),
-    )
-
-
-def lsh_candidate_pairs(
-    shingled: DataFrame,
-    id_col: str,
-    num_hashes: int = 128,
-    rows_per_band: int = 4,
-) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs colliding in >=1 LSH band.
-
-    One shuffle on (band_idx, band_hash); bucket sizes are tiny for
-    non-duplicate corpora, so the within-bucket self-join is cheap. Skewed
-    buckets (boilerplate-heavy corpora) are the known failure mode — cap
-    bucket size or document-frequency-filter shingles upstream.
-    """
-    bands = shingled.select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            lsh_band_hashes(F.col("shingles"), num_hashes, rows_per_band)
-        ).alias("band"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = sigs.select(
+        "doc", F.explode(F.array(*band_structs)).alias("band")
     ).select("doc", "band.band_idx", "band.band_hash")
     return (
         bands.alias("a")
@@ -157,25 +169,19 @@ def lsh_candidate_pairs(
 
 
 def verify_candidates_jaccard(
-    candidates: DataFrame, shingled: DataFrame, id_col: str, threshold: float
+    candidates: DataFrame, postings: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact Jaccard on candidate pairs only (array_intersect on the small
-    candidate set — the cheap final pass that makes LSH output exact)."""
-    sh = shingled.select(F.col(id_col).alias("doc"), "shingles")
-    a = sh.withColumnRenamed("doc", "doc_a").withColumnRenamed("shingles", "sh_a")
-    b = sh.withColumnRenamed("doc", "doc_b").withColumnRenamed("shingles", "sh_b")
-    return (
-        candidates.join(a, "doc_a")
-        .join(b, "doc_b")
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_common")
-            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
-        )
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    """Exact Jaccard on candidate pairs only — the cheap final pass that
+    makes LSH output exact. Postings are first semi-joined down to docs that
+    appear in any candidate pair, so the verify join touches a tiny slice."""
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc"))
+        .union(candidates.select(F.col("doc_b").alias("doc")))
+        .distinct()
     )
+    p = postings.join(F.broadcast(cand_docs), "doc")
+    inter = _pair_intersections(p).join(candidates, ["doc_a", "doc_b"], "left_semi")
+    return _with_jaccard(inter, postings, threshold)
 
 
 def token_hashes(tokens: Column) -> Column:

@@ -22,16 +22,15 @@ from ..functions.text import (
 )
 from ..operators.dedup import (
     exact_dedup_keep_first,
-    jaccard_pairs_inverted_index,
-    lsh_candidate_pairs,
+    jaccard_pairs_bruteforce,
+    minhash_lsh_candidates,
+    shingle_postings,
     simhash64,
     token_hashes,
     verify_candidates_jaccard,
-    with_shingles,
 )
 from ..operators.multimodal import extract_features, with_binary_payload
-from ..operators.similarity import cosine_topk_bruteforce, ivf_topk
-from ..functions.vectors import cosine_similarity
+from ..operators.similarity import cosine_pairs_arrow, cosine_topk_arrow, ivf_topk
 from ..sources.readers import load_table
 from .catalog import Query
 
@@ -236,40 +235,30 @@ ORDER BY doc_a, doc_b
 
 def _neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact 3-word-shingle Jaccard >= 0.8, via the
-    inverted-index plan (no cartesian product)."""
-    d = with_shingles(load_table(spark, sf_dir, "documents"), "text", SHINGLE_N)
-    return jaccard_pairs_inverted_index(d, "doc_id", JACCARD_THRESHOLD).orderBy(
-        "doc_a", "doc_b"
-    )
+    postings-list (inverted index) plan — no cartesian product, full
+    codegen."""
+    p = shingle_postings(load_table(spark, sf_dir, "documents"), "doc_id", "text", SHINGLE_N)
+    return jaccard_pairs_bruteforce(p, JACCARD_THRESHOLD).orderBy("doc_a", "doc_b")
 
 
 def _neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same near-dup pairs via MinHash+LSH candidates + exact verification —
     the 100 TB path. Output equals brute force (miss prob < 5e-8 at s=0.8
     with 32 bands x 4 rows), so it shares the brute-force oracle."""
-    d = with_shingles(load_table(spark, sf_dir, "documents"), "text", SHINGLE_N)
-    cands = lsh_candidate_pairs(d, "doc_id", num_hashes=128, rows_per_band=4)
-    return verify_candidates_jaccard(cands, d, "doc_id", JACCARD_THRESHOLD).orderBy(
+    p = shingle_postings(load_table(spark, sf_dir, "documents"), "doc_id", "text", SHINGLE_N)
+    cands = minhash_lsh_candidates(p, num_hashes=128, rows_per_band=4)
+    return verify_candidates_jaccard(cands, p, JACCARD_THRESHOLD).orderBy(
         "doc_a", "doc_b"
     )
 
 
 def _neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4 — the testdata has no
-    planted >0.95 pairs). Brute-force all-pairs here; at scale the candidate
-    set comes from random-hyperplane LSH or the IVF index instead."""
+    planted >0.95 pairs), via the broadcast-numpy exact pair search. At
+    scale the candidate set comes from random-hyperplane LSH or the IVF
+    index feeding the same verifier."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("__va"))
-    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("__vb"))
-    sim = cosine_similarity(F.col("__va"), F.col("__vb"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("__sim", sim)
-        .where(F.col("__sim") >= 0.4)
-        .select("vec_a", "vec_b", F.round("__sim", 4).alias("cosine_sim"))
-        .orderBy("vec_a", "vec_b")
-    )
+    return cosine_pairs_arrow(e, "vec_id", "embedding", 0.4).orderBy("vec_a", "vec_b")
 
 
 _NEARDUP_EMB_SQL = """
@@ -296,10 +285,11 @@ def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Similarity search ----------------------------------------------------------
 def _ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 neighbors for query vectors vec_id < 10."""
+    """Exact cosine top-5 neighbors for query vectors vec_id < 10, via the
+    Arrow/BLAS brute-force path with per-batch partial top-k."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    return cosine_topk_bruteforce(
+    return cosine_topk_arrow(
         q, e, "vec_id", "vec_id", "embedding", "embedding", k=5
     ).orderBy("query_id", "rank")
 

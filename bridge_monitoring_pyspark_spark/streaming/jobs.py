@@ -31,6 +31,7 @@ reference README.md:268-270).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -63,6 +64,25 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(f"{sf_dir}/events*.parquet")
     )
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+@contextmanager
+def _stream_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Pin spark.sql.shuffle.partitions while a streaming query *starts*
+    (the value is frozen into the checkpoint at creation). State-store
+    partition count = shuffle partitions × stateful operators: size it to
+    key cardinality and throughput, not to the batch default — a tumbling
+    window keyed by a handful of groups gains nothing from 200 RocksDB
+    instances per operator, while a 100 TB keyspace needs thousands."""
+    if n is None:
+        yield
+        return
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _write(
@@ -151,6 +171,7 @@ def run_gold(
     window: str = "1 hour",
     watermark: str = "2 minutes",
     available_now: bool = True,
+    shuffle_partitions: int | None = 8,
 ) -> str:
     """Gold: three watermarked tumbling-window aggregates stream-stream
     INNER-joined on the window struct, flattened, one checkpointed sink —
@@ -180,7 +201,8 @@ def run_gold(
         "max_view_value",
         "max_error_value",
     )
-    q = _write(flat, out_dir, "gold_metrics", available_now)
+    with _stream_shuffle_partitions(spark, shuffle_partitions):
+        q = _write(flat, out_dir, "gold_metrics", available_now)
     if available_now:
         q.awaitTermination()
     else:  # pragma: no cover

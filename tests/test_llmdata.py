@@ -10,12 +10,12 @@ from pyspark.sql import functions as F
 
 from bridge_monitoring_pyspark_spark.functions.text import words
 from bridge_monitoring_pyspark_spark.operators.dedup import (
-    jaccard_pairs_inverted_index,
-    lsh_candidate_pairs,
+    jaccard_pairs_bruteforce,
+    minhash_lsh_candidates,
+    shingle_postings,
     simhash64,
     token_hashes,
     verify_candidates_jaccard,
-    with_shingles,
 )
 from bridge_monitoring_pyspark_spark.operators.multimodal import (
     extract_features,
@@ -68,18 +68,34 @@ def test_simhash_near_identical_texts_close(spark):
 
 
 def test_lsh_equals_bruteforce(spark):
-    d = with_shingles(load_table(spark, SF_SMOKE, "documents"), "text", 3)
+    p = shingle_postings(load_table(spark, SF_SMOKE, "documents"), "doc_id", "text", 3)
     brute = {
-        (r.doc_a, r.doc_b)
-        for r in jaccard_pairs_inverted_index(d, "doc_id", 0.8).collect()
+        (r.doc_a, r.doc_b) for r in jaccard_pairs_bruteforce(p, 0.8).collect()
     }
-    cands = lsh_candidate_pairs(d, "doc_id", 128, 4)
+    cands = minhash_lsh_candidates(p, 128, 4)
     lsh = {
         (r.doc_a, r.doc_b)
-        for r in verify_candidates_jaccard(cands, d, "doc_id", 0.8).collect()
+        for r in verify_candidates_jaccard(cands, p, 0.8).collect()
     }
     assert brute == lsh
     assert len(brute) > 0  # the testdata plants near-dup pairs
+
+
+def test_shingle_postings_match_array_form(spark):
+    from bridge_monitoring_pyspark_spark.operators.dedup import with_shingles
+    from pyspark.sql import functions as F2
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(50)
+    via_postings = {
+        (r.doc, r.shingle)
+        for r in shingle_postings(d, "doc_id", "text", 3).collect()
+    }
+    via_arrays = {
+        (r.doc_id, s)
+        for r in with_shingles(d, "text", 3).select("doc_id", "shingles").collect()
+        for s in r.shingles
+    }
+    assert via_postings == via_arrays
 
 
 def test_ivf_recall_vs_bruteforce(spark):
