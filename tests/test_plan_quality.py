@@ -1,0 +1,109 @@
+"""Physical-plan quality gates — the 100 TB design assertions.
+
+Correctness tests prove the right rows come back; these prove the *plan*
+is the one that survives a 1000-executor scale-up: filters reach the
+parquet scan, dimension joins broadcast (the fact side never shuffles for
+them), partition filters prune directories, and top-k compiles to
+TakeOrderedAndProject instead of a global sort.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from bridge_monitoring_pyspark_spark.plans.catalog import all_queries
+from bridge_monitoring_pyspark_spark.sources.readers import load_table
+
+from conftest import SF_SMOKE
+
+CATALOG = all_queries()
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    df = CATALOG["q1_pricing_summary"].build(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_q1_column_pruning(spark):
+    df = CATALOG["q1_pricing_summary"].build(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    scan_cols = plan.split("FileScan parquet [")[1].split("]")[0]
+    # only the 7 needed columns reach the scan, not all 11
+    assert "l_orderkey" not in scan_cols and "l_partkey" not in scan_cols
+    assert "l_quantity" in scan_cols and "l_shipdate" in scan_cols
+    assert len(scan_cols.split(",")) == 7
+
+
+def test_dim_joins_broadcast(spark):
+    for name in ("silver_enriched", "q5_region_revenue", "q3_shipping_priority"):
+        plan = _executed_plan(CATALOG[name].build(spark, SF_SMOKE))
+        assert "BroadcastHashJoin" in plan, f"{name} lost its broadcast join"
+        assert "SortMergeJoin" not in plan or name == "q5_region_revenue", (
+            f"{name} shuffles the fact side for a dim join"
+        )
+
+
+def test_semi_anti_join_physical(spark):
+    semi = _executed_plan(CATALOG["semi_join_urgent_customers"].build(spark, SF_SMOKE))
+    anti = _executed_plan(CATALOG["anti_join_no_urgent_customers"].build(spark, SF_SMOKE))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _executed_plan(CATALOG["top_users_by_peak_value"].build(spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, "top-k degenerated into a global sort"
+
+
+def test_partition_pruning(spark):
+    out = tempfile.mkdtemp(prefix="t_prune_") + "/by_date"
+    e = load_table(spark, SF_SMOKE, "events").withColumn(
+        "partition_date", F.to_date("ts")
+    )
+    e.write.mode("overwrite").partitionBy("partition_date").parquet(out)
+    pruned = spark.read.parquet(out).where(
+        F.col("partition_date") == F.lit("2024-01-05").cast("date")
+    )
+    plan = _executed_plan(pruned)
+    assert "PartitionFilters: [" in plan
+    assert "partition_date" in plan.split("PartitionFilters")[1][:200]
+    # one partition directory actually scanned
+    n_days = e.select("partition_date").distinct().count()
+    assert pruned.count() < e.count() / max(n_days - 5, 1)
+
+
+def test_whole_stage_codegen_active(spark):
+    df = CATALOG["q1_pricing_summary"].build(spark, SF_SMOKE)
+    df.collect()  # AQE finalizes the physical plan on first execution
+    plan = _executed_plan(df)
+    # codegen stages print as "*(n) Operator" in the final adaptive plan
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+    assert "AQEShuffleRead" in plan  # adaptive coalescing actually engaged
+
+
+def test_approx_distinct_error_bound(spark):
+    rows = CATALOG["approx_distinct_users"].build(spark, SF_SMOKE).collect()
+    for r in rows:
+        rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
+        assert rel_err < 0.05, f"{r.event_type}: HLL rel err {rel_err}"
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass").endswith(
+            "RocksDBStateStoreProvider"
+        )
+    )
