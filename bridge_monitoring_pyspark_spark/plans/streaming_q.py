@@ -17,7 +17,16 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..streaming.jobs import run_bronze, run_gold, run_silver
+from ..streaming.jobs import (
+    read_events_stream,
+    run_bronze,
+    run_gold,
+    run_json_ingest,
+    run_silver,
+    run_silver_foreachbatch,
+    write_json_landing,
+)
+from ..streaming.stateful import streaming_keep_first
 from .bridge import EVENT_RULES, _VALID_SQL
 from .catalog import Query
 
@@ -97,9 +106,97 @@ WHERE c.ws + INTERVAL 1 HOUR <= wm.w
 """
 
 
+def _streaming_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full landing-zone path: events materialized as date-partitioned
+    JSON lines (the reference generator's layout), streamed back in with an
+    explicit schema (S1) + partition discovery (S2), ISO-8601 parse via
+    try_to_timestamp, null-split, date-partitioned sink."""
+    base = tempfile.mkdtemp(prefix="eng_json_")
+    landing = base + "/landing"
+    write_json_landing(spark, sf_dir, landing)
+    paths = run_json_ingest(spark, landing, base + "/out")
+    return spark.read.parquet(paths["valid"]).select(
+        "event_id",
+        F.col("event_time_ts").alias("ts"),
+        "user_id", "event_type", "value",
+        F.col("date").alias("partition_date"),
+    )
+
+
+def _streaming_foreachbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass DQ routing via foreachBatch: one source read per
+    micro-batch feeds both the valid and quarantine sinks (vs the
+    reference's one-query-per-sink double scan)."""
+    out = tempfile.mkdtemp(prefix="eng_fb_")
+    paths = run_silver_foreachbatch(spark, sf_dir, out, EVENT_RULES)
+    valid = spark.read.parquet(paths["valid"]).withColumn("branch", F.lit("valid"))
+    rejected = spark.read.parquet(paths["rejected"]).withColumn(
+        "branch", F.lit("rejected")
+    )
+    return (
+        valid.unionByName(rejected)
+        .groupBy("branch", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("branch", "event_type")
+    )
+
+
+_FOREACHBATCH_SQL = f"""
+SELECT CASE WHEN {_VALID_SQL} THEN 'valid' ELSE 'rejected' END AS branch,
+       event_type, CAST(count(*) AS BIGINT) AS n_rows
+FROM events
+GROUP BY 1, 2
+ORDER BY branch, event_type
+"""
+
+
+def _streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): streaming
+    keep-first dedup per (user_id, event_type) with the seen-set in
+    GroupState — the arbitrary-state surface the built-in windows can't
+    express. Output equals the batch keep-first oracle."""
+    out = tempfile.mkdtemp(prefix="eng_state_")
+    stream = read_events_stream(spark, sf_dir)
+    deduped = streaming_keep_first(
+        stream,
+        key_col="user_id",
+        dedup_col="event_type",
+        order_cols=["ts", "event_id"],
+        output_schema="user_id bigint, event_type string, event_id bigint, ts timestamp",
+        output_cols=["user_id", "event_type", "event_id", "ts"],
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out + "/dedup")
+        .option("checkpointLocation", out + "/_chk")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out + "/dedup").select(
+        "user_id", "event_type",
+        F.col("event_id").alias("first_event_id"),
+        F.col("ts").alias("first_ts"),
+    )
+
+
+_STATEFUL_DEDUP_SQL = """
+SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+"""
+
+
 QUERIES = [
     Query("streaming_bronze_valid", _streaming_bronze, _STREAMING_BRONZE_SQL,
           ("streaming", "S3", "S6", "T3", "T4")),
+    Query("streaming_json_ingest", _streaming_json_ingest, _STREAMING_BRONZE_SQL,
+          ("streaming", "S1", "S2")),
+    Query("streaming_foreachbatch_dq", _streaming_foreachbatch, _FOREACHBATCH_SQL,
+          ("streaming", "foreachBatch")),
+    Query("streaming_stateful_dedup", _streaming_stateful_dedup, _STATEFUL_DEDUP_SQL,
+          ("streaming", "stateful", "applyInPandasWithState")),
     Query("streaming_silver_enriched", _streaming_silver, _STREAMING_SILVER_SQL,
           ("streaming", "J1", "T6")),
     Query("streaming_gold_metrics", _streaming_gold, _STREAMING_GOLD_SQL,

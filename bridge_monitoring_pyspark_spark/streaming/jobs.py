@@ -101,6 +101,105 @@ def _write(
     return w.start()
 
 
+def write_json_landing(spark: SparkSession, sf_dir: str, landing_dir: str) -> None:
+    """Materialize the events table as a JSON-lines landing zone with
+    Hive-style date partitions — the reference's generator layout
+    (data_generator/data_generator.py:72-81: streams/<sensor>/date=.../*.json).
+    Test fixture only; production landing zones are written by producers."""
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withColumn("date", F.to_date("ts"))
+        .withColumn("ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
+    )
+    events.write.mode("overwrite").partitionBy("date").json(landing_dir)
+
+
+# Landing-zone schema: ts is an ISO-8601 string (parsed downstream — parse
+# failure routes to quarantine), `date` arrives via partition discovery.
+EVENTS_JSON = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.StringType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def run_json_ingest(
+    spark: SparkSession, landing_dir: str, out_dir: str, available_now: bool = True
+) -> dict[str, str]:
+    """Bronze ingest from the JSON landing zone (S1 streaming JSON source +
+    S2 partition discovery; reference: pipelines/bronze_ingest.py:26-62):
+    explicit schema, try_to_timestamp parse, null-split, date-partitioned
+    valid sink."""
+    raw = spark.readStream.schema(EVENTS_JSON).json(landing_dir)
+    parsed = raw.withColumn("event_time_ts", F.try_to_timestamp(F.col("ts")))
+    valid, invalid = split_valid_invalid(
+        parsed, F.col("event_time_ts").isNotNull() & F.col("value").isNotNull()
+    )
+    queries = [
+        _write(valid, out_dir, "json_bronze_valid", available_now, partition_by="date"),
+        _write(invalid, out_dir, "json_bronze_rejected", available_now),
+    ]
+    if available_now:
+        for q in queries:
+            q.awaitTermination()
+    else:  # pragma: no cover
+        spark.streams.awaitAnyTermination()
+    return {
+        "valid": os.path.join(out_dir, "json_bronze_valid"),
+        "rejected": os.path.join(out_dir, "json_bronze_rejected"),
+    }
+
+
+def run_silver_foreachbatch(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    rules: SensorRules,
+    available_now: bool = True,
+) -> dict[str, str]:
+    """Silver DQ routing as ONE streaming query via foreachBatch: each
+    micro-batch is persisted once and both branches write from it — halving
+    source reads versus the two-query split (the trade the reference makes
+    implicitly by running 4 sinks as 4 queries; at 100 TB the double scan
+    is the bigger cost). Sink idempotence across retries comes from
+    overwrite-by-batch-id directories."""
+    events = read_events_stream(spark, sf_dir)
+    valid_dir = os.path.join(out_dir, "fb_valid")
+    rejected_dir = os.path.join(out_dir, "fb_rejected")
+    cond = rules.valid_condition()
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.where(cond).write.mode("overwrite").parquet(
+                f"{valid_dir}/batch_id={batch_id}"
+            )
+            batch_df.where(~cond).write.mode("overwrite").parquet(
+                f"{rejected_dir}/batch_id={batch_id}"
+            )
+        finally:
+            batch_df.unpersist()
+
+    w = (
+        events.writeStream.foreachBatch(route)
+        .option("checkpointLocation", os.path.join(out_dir, "_chk_fb"))
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    q = w.start()
+    if available_now:
+        q.awaitTermination()
+    else:  # pragma: no cover
+        spark.streams.awaitAnyTermination()
+    return {"valid": valid_dir, "rejected": rejected_dir}
+
+
 def run_bronze(
     spark: SparkSession, sf_dir: str, out_dir: str, available_now: bool = True
 ) -> dict[str, str]:
