@@ -184,6 +184,63 @@ def verify_candidates_jaccard(
     return _with_jaccard(inter, postings, threshold)
 
 
+def neardup_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Connected components over near-duplicate pairs → dedup clusters.
+
+    Pregel-style min-label propagation as an iterative DataFrame loop: each
+    node starts labelled with its own id; every round, each node takes the
+    min label among itself and its neighbors; stop when no label changed.
+    Near-dup graphs are almost all tiny cliques, so this converges in a few
+    rounds; each round is one shuffle on the edge key. (At extreme scale,
+    swap in the large-star/small-star algorithm — same loop skeleton.)
+
+    Output: (doc_id, component_id = min doc id of the cluster) for every
+    document that appears in at least one pair.
+    """
+    # materialize the (possibly expensive) pair plan once — the union below
+    # would otherwise execute it twice, and the loop many times over
+    pairs = pairs.localCheckpoint()
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        # near-dup edge lists are orders of magnitude smaller than the
+        # corpus: collapse to a few partitions so per-round job overhead
+        # stays flat
+        .coalesce(8)
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("new_label"),
+                "label",
+            )
+        )
+        updated = updated.coalesce(8).localCheckpoint()  # per-round lineage O(1)
+        changed = updated.where(F.col("new_label") != F.col("label")).limit(1).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
 def token_hashes(tokens: Column) -> Column:
     """xxhash64 of each distinct token — precomputed once so the 64-bit
     vote loop below doesn't rehash per bit position."""
