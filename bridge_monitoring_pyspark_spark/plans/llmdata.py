@@ -25,8 +25,7 @@ from ..operators.dedup import (
     jaccard_pairs_bruteforce,
     minhash_lsh_candidates,
     shingle_postings,
-    simhash64,
-    token_hashes,
+    simhash64_agg,
     verify_candidates_jaccard,
 )
 from ..operators.multimodal import extract_features, with_binary_payload
@@ -272,15 +271,12 @@ ORDER BY vec_a, vec_b
 
 
 def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (JVM bit arithmetic, no UDF). No DuckDB
-    oracle — xxhash64 is Spark-specific; validated in pytest against a pure
-    Python reimplementation."""
+    """64-bit SimHash per document via the codegen-aggregate form
+    (operators/dedup.py:simhash64_agg). No DuckDB oracle — xxhash64 is
+    Spark-specific; validated in pytest against a pure Python
+    reimplementation and against the expression form."""
     d = load_table(spark, sf_dir, "documents")
-    return (
-        d.withColumn("__th", token_hashes(words(F.col("text"))))
-        .select("doc_id", simhash64("__th").alias("simhash"))
-        .orderBy("doc_id")
-    )
+    return simhash64_agg(d, "doc_id", "text").orderBy("doc_id")
 
 
 # --- Similarity search ----------------------------------------------------------

@@ -44,15 +44,12 @@ def streaming_keep_first(
         # concat all Arrow chunks before sorting — chunk boundaries are not
         # deterministic, the (order_cols) sort must span the whole batch
         pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(order_cols)
-        out = []
-        for _, row in pdf.iterrows():
-            v = row[dedup_col]
-            if v not in seen:
-                seen.add(v)
-                out.append(row[output_cols])
-        state.update((list(seen),))
-        if out:
-            yield pd.DataFrame(out)
+        fresh = pdf[~pdf[dedup_col].isin(seen)].drop_duplicates(
+            subset=[dedup_col], keep="first"
+        )
+        state.update((list(seen | set(fresh[dedup_col])),))
+        if len(fresh):
+            yield fresh[output_cols]
 
     return stream.groupBy(key_col).applyInPandasWithState(
         dedup_group,

@@ -67,6 +67,22 @@ def test_simhash_near_identical_texts_close(spark):
     assert ham(rows[1], rows[2]) <= 8
 
 
+def test_simhash_agg_equals_expression_form(spark):
+    from bridge_monitoring_pyspark_spark.operators.dedup import simhash64_agg
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(100)
+    via_expr = {
+        r["doc_id"]: r["simhash"]
+        for r in d.withColumn("__th", token_hashes(words(F.col("text"))))
+        .select("doc_id", simhash64("__th").alias("simhash"))
+        .collect()
+    }
+    via_agg = {
+        r["doc_id"]: r["simhash"] for r in simhash64_agg(d, "doc_id", "text").collect()
+    }
+    assert via_expr == via_agg
+
+
 def test_lsh_equals_bruteforce(spark):
     p = shingle_postings(load_table(spark, SF_SMOKE, "documents"), "doc_id", "text", 3)
     brute = {
