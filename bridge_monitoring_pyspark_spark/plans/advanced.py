@@ -184,8 +184,69 @@ ORDER BY doc_id
 """
 
 
+def _dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline, end to end: exact fingerprint dedup →
+    MinHash-LSH near-dup pairs (exactly verified) → connected components →
+    keep the min-id representative per cluster. Output: surviving doc_ids —
+    what a training-data pipeline would actually feed downstream."""
+    from ..operators.dedup import (
+        exact_dedup_keep_first,
+        minhash_lsh_candidates,
+        verify_candidates_jaccard,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = exact_dedup_keep_first(
+        docs, "text", order=[F.col("doc_id").asc()], id_cols=["doc_id"]
+    ).select("doc_id", "text")
+    p = shingle_postings(exact, "doc_id", "text", SHINGLE_N)
+    cands = minhash_lsh_candidates(p, num_hashes=128, rows_per_band=4)
+    pairs = verify_candidates_jaccard(cands, p, JACCARD_THRESHOLD)
+    comps = neardup_components(pairs)
+    dropped = comps.where(F.col("doc_id") != F.col("component_id")).select("doc_id")
+    return exact.join(dropped, "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
+
+
+_SURVIVORS_SQL = rf"""
+WITH RECURSIVE
+exact AS (
+  SELECT doc_id, text FROM documents
+  QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) = 1
+),
+t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') w FROM exact),
+sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in range(1, len(w) - 1)]) s
+  FROM t
+),
+jp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s))::DOUBLE
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= {JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM jp
+  UNION SELECT doc_b, doc_a FROM jp
+),
+reach(node, other) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.other FROM edges e JOIN reach r ON e.dst = r.node
+),
+comps AS (
+  SELECT node AS doc_id, min(other) AS component_id FROM reach GROUP BY node
+)
+SELECT e.doc_id FROM exact e
+WHERE e.doc_id NOT IN (SELECT doc_id FROM comps WHERE doc_id != component_id)
+ORDER BY e.doc_id
+"""
+
+
 QUERIES = [
     Query("sql_correlated_subquery", _sql_correlated_subquery, _CORRELATED_SQL, ("sql", "subquery")),
+    Query("dedup_pipeline_survivors", _dedup_pipeline_survivors, _SURVIVORS_SQL, ("llm", "dedup", "pipeline")),
     Query("sql_ntile_quartiles", _sql_ntile_quartiles, _NTILE_SQL, ("sql", "window")),
     Query("salted_revenue_by_flag", _salted_revenue, _SALTED_SQL, ("agg", "skew")),
     Query("bucketed_join_revenue", _bucketed_join_revenue, _BUCKETED_SQL, ("join", "bucketed")),

@@ -464,6 +464,50 @@ ORDER BY custkey
 """
 
 
+# --- Full outer join ---------------------------------------------------------------------
+def _full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER equi-join of two sparse daily-activity aggregates — rows
+    survive from either side with nulls coalesced. Same single-shuffle
+    shape as inner; the outer-ness only changes null handling."""
+    e = _t(spark, sf_dir, "events")
+    clicks = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    return (
+        clicks.join(purchases, on=["user_id", "day"], how="full_outer")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+        )
+    )
+
+
+_FULL_OUTER_SQL = """
+WITH clicks AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), purchases AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT coalesce(c.user_id, p.user_id) AS user_id,
+       coalesce(c.day, p.day) AS day,
+       coalesce(c.n_clicks, 0) AS n_clicks,
+       coalesce(p.n_purchases, 0) AS n_purchases
+FROM clicks c FULL OUTER JOIN purchases p
+  ON c.user_id = p.user_id AND c.day = p.day
+"""
+
+
 # --- Pivot -------------------------------------------------------------------------------
 def _event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot event counts into one column per type. Expressed as conditional
@@ -508,4 +552,5 @@ QUERIES = [
     Query("intersect_building_urgent", _building_and_urgent_custkeys, _INTERSECT_SQL, ("setop",)),
     Query("except_building_urgent", _building_minus_urgent_custkeys, _EXCEPT_SQL, ("setop",)),
     Query("pivot_event_type_counts", _event_type_pivot, _PIVOT_SQL, ("agg", "pivot")),
+    Query("full_outer_daily_activity", _full_outer_daily_activity, _FULL_OUTER_SQL, ("join", "outer")),
 ]
