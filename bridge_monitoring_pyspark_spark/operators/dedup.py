@@ -54,6 +54,23 @@ def exact_dedup_keep_first(
     )
 
 
+def exact_dedup_min_by(
+    df: DataFrame, text_col: str, id_col: str, payload_cols: list[str]
+) -> DataFrame:
+    """Keep the min-``id_col`` row per canonical-text fingerprint, via a
+    ``min_by(struct(payload), id)`` aggregation instead of a row_number
+    window. Same survivors as :func:`exact_dedup_keep_first` with
+    ``order=[id asc]``, but partial-aggregatable: the map side combines
+    before the shuffle and nothing is sorted — the form to prefer at
+    100 TB when the keep-rule is a simple min/max."""
+    return (
+        df.withColumn("fingerprint", fingerprint_md5(F.col(text_col)))
+        .groupBy("fingerprint")
+        .agg(F.min_by(F.struct(*payload_cols), id_col).alias("__s"))
+        .select(*[F.col(f"__s.{c}").alias(c) for c in payload_cols])
+    )
+
+
 def with_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     """Attach distinct n-word shingle arrays (column ``shingles``).
 
@@ -138,11 +155,15 @@ def minhash_lsh_candidates(
     size or document-frequency-filter shingles upstream.
     """
     n_bands = num_hashes // rows_per_band
+    # hash the shingle string ONCE to a long, then derive the k permutation
+    # hashes by rehashing the fixed-width long — same independence, ~2x
+    # cheaper than k full string hashes (string bytes dominate xxhash cost)
+    hashed = postings.withColumn("__h", F.xxhash64("shingle"))
     sig_cols = [
-        F.min(F.xxhash64(F.lit(k), F.col("shingle"))).alias(f"m{k}")
+        F.min(F.xxhash64(F.lit(k), F.col("__h"))).alias(f"m{k}")
         for k in range(1, num_hashes + 1)
     ]
-    sigs = postings.groupBy("doc").agg(*sig_cols)
+    sigs = hashed.groupBy("doc").agg(*sig_cols)
     band_structs = [
         F.struct(
             F.lit(b).alias("band_idx"),

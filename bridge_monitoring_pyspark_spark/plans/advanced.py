@@ -190,15 +190,13 @@ def _dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep the min-id representative per cluster. Output: surviving doc_ids —
     what a training-data pipeline would actually feed downstream."""
     from ..operators.dedup import (
-        exact_dedup_keep_first,
+        exact_dedup_min_by,
         minhash_lsh_candidates,
         verify_candidates_jaccard,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    exact = exact_dedup_keep_first(
-        docs, "text", order=[F.col("doc_id").asc()], id_cols=["doc_id"]
-    ).select("doc_id", "text")
+    exact = exact_dedup_min_by(docs, "text", "doc_id", ["doc_id", "text"])
     p = shingle_postings(exact, "doc_id", "text", SHINGLE_N)
     cands = minhash_lsh_candidates(p, num_hashes=128, rows_per_band=4)
     pairs = verify_candidates_jaccard(cands, p, JACCARD_THRESHOLD)

@@ -157,6 +157,10 @@ def _streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     express. Output equals the batch keep-first oracle."""
     out = tempfile.mkdtemp(prefix="eng_state_")
     stream = read_events_stream(spark, sf_dir)
+    # state partitions sized to the user_id keyspace (~10^2 here), not the
+    # batch shuffle default — see jobs._stream_shuffle_partitions
+    from ..streaming.jobs import _stream_shuffle_partitions
+
     deduped = streaming_keep_first(
         stream,
         key_col="user_id",
@@ -165,14 +169,15 @@ def _streaming_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_schema="user_id bigint, event_type string, event_id bigint, ts timestamp",
         output_cols=["user_id", "event_type", "event_id", "ts"],
     )
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out + "/dedup")
-        .option("checkpointLocation", out + "/_chk")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _stream_shuffle_partitions(spark, 8):
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out + "/dedup")
+            .option("checkpointLocation", out + "/_chk")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()
     return spark.read.parquet(out + "/dedup").select(
         "user_id", "event_type",
