@@ -33,10 +33,23 @@ class Query:
 
 def all_queries() -> dict[str, Query]:
     """Assemble the full catalog (import here to keep module import light)."""
-    from . import advanced, bridge, extras, llmdata, llmdata2, relational2, streaming_q, tpch
+    from . import (
+        advanced,
+        bridge,
+        extras,
+        llmdata,
+        llmdata2,
+        relational2,
+        streaming_q,
+        streaming_q2,
+        tpch,
+    )
 
     out: dict[str, Query] = {}
-    for mod in (bridge, tpch, llmdata, streaming_q, extras, advanced, relational2, llmdata2):
+    for mod in (
+        bridge, tpch, llmdata, streaming_q, extras, advanced,
+        relational2, llmdata2, streaming_q2,
+    ):
         for q in mod.QUERIES:
             if q.name in out:
                 raise ValueError(f"duplicate query name: {q.name}")

@@ -506,6 +506,78 @@ LIMIT 25
 """
 
 
+# --- Join strategy hint ---------------------------------------------------------
+def _hinted_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit join-strategy override: shuffle_hash forces a
+    ShuffledHashJoin where Catalyst would default to sort-merge — the right
+    call when one side is much smaller than the other but too big to
+    broadcast (build-side hash map, no sort of the big side). The plan
+    test pins the physical operator so the hint can't silently stop
+    applying."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    joined = l.join(o.hint("shuffle_hash"), l.l_orderkey == o.o_orderkey)
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_HINTED_SQL = """
+SELECT o_orderstatus, round(sum(l_quantity), 4) AS total_qty,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+# --- Cached intermediate reused by two consumers --------------------------------
+def _cached_reuse_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One expensive intermediate (filtered fact join), two consumers: the
+    intermediate is cached so the second aggregate reads the in-memory
+    columnar form instead of recomputing the join (InMemoryTableScan in the
+    plan test). The cache-or-recompute trade at 100 TB: cache when
+    (consumers - 1) x recompute cost > memory+serialization cost — here 2
+    consumers over a joined slice, the canonical win."""
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") >= cutoff)
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    base = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", "l_returnflag", "l_extendedprice"
+    )
+    base.persist()
+    by_prio = base.groupBy(F.col("o_orderpriority").alias("dim")).agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("total_price")
+    ).withColumn("dim_kind", F.lit("priority"))
+    by_flag = base.groupBy(F.col("l_returnflag").alias("dim")).agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("total_price")
+    ).withColumn("dim_kind", F.lit("returnflag"))
+    return by_prio.unionByName(by_flag).orderBy("dim_kind", "dim")
+
+
+_CACHED_SQL = """
+WITH base AS (
+  SELECT o_orderpriority, l_returnflag, l_extendedprice
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+)
+SELECT dim, total_price, dim_kind FROM (
+  SELECT o_orderpriority AS dim, round(sum(l_extendedprice), 4) AS total_price,
+         'priority' AS dim_kind
+  FROM base GROUP BY o_orderpriority
+  UNION ALL
+  SELECT l_returnflag, round(sum(l_extendedprice), 4), 'returnflag'
+  FROM base GROUP BY l_returnflag
+)
+ORDER BY dim_kind, dim
+"""
+
+
 # --- ORC round-trip -------------------------------------------------------------
 def _orc_dim_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Columnar-format coverage beyond parquet: write supplier to ORC, read
@@ -552,4 +624,6 @@ QUERIES = [
     Query("collect_event_types", _collect_event_types, _COLLECT_SQL, ("agg", "array")),
     Query("word_frequency_topk", _word_frequency_topk, _WORD_FREQ_SQL, ("llm", "text")),
     Query("orc_dim_roundtrip", _orc_dim_roundtrip, _ORC_SQL, ("source", "orc")),
+    Query("hinted_shuffle_hash_join", _hinted_shuffle_hash_join, _HINTED_SQL, ("join", "hint")),
+    Query("cached_reuse_metrics", _cached_reuse_metrics, _CACHED_SQL, ("cache",)),
 ]

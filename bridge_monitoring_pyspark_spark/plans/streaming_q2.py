@@ -1,0 +1,158 @@
+"""Second streaming wave: the output modes and built-in stateful operators
+the first wave (streaming_q.py) doesn't cover — dropDuplicatesWithinWatermark
+(built-in streaming dedup), complete and update output modes into the memory
+sink, and the transformWithState arbitrary-state API (Spark 4.x typed state).
+
+Every query drains the driver's events table with an availableNow trigger,
+so streaming semantics collapse to a closed form a DuckDB batch oracle can
+check (see streaming/jobs.py module docstring). Memory-sink queries get a
+unique queryName per run so repeated bench invocations don't collide.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.jobs import _stream_shuffle_partitions, read_events_stream
+from ..streaming.stateful2 import streaming_running_counts
+from .catalog import Query
+
+
+def _streaming_dropdup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in streaming dedup: the source is unioned with itself (every
+    event arrives twice) and dropDuplicatesWithinWatermark collapses each
+    event_id back to one row, holding per-key state only within the
+    watermark horizon — the bounded-state form of streaming distinct
+    (vs. plain dropDuplicates, whose state never expires)."""
+    out = tempfile.mkdtemp(prefix="eng_ddw_")
+    s = read_events_stream(spark, sf_dir)
+    doubled = s.unionByName(s).withWatermark("ts", "10 minutes")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    with _stream_shuffle_partitions(spark, 8):
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out + "/dedup")
+            .option("checkpointLocation", out + "/_chk")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
+    return spark.read.parquet(out + "/dedup")
+
+
+_DROPDUP_SQL = """
+SELECT event_id, user_id, event_type, value FROM events
+"""
+
+
+def _streaming_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complete output mode (reference used append only, SURVEY.md §2.11):
+    a global event-type leaderboard re-emitted in full every trigger into
+    the memory sink — the only mode that allows a streaming ORDER BY. The
+    final table is the complete aggregate, so the batch oracle is exact."""
+    name = "eng_complete_" + uuid.uuid4().hex[:8]
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("event_type"))
+    )
+    with _stream_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_COMPLETE_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY event_type
+ORDER BY n_events DESC, event_type
+"""
+
+
+def _streaming_update_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Update output mode: only keys whose aggregate changed are emitted
+    each trigger. Draining in one batch means every key emits exactly its
+    final value, so the memory-sink table equals the batch group-by."""
+    name = "eng_update_" + uuid.uuid4().hex[:8]
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    with _stream_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
+    return spark.table(name).select("user_id", F.col("n_events").cast("long").alias("n_events"))
+
+
+_UPDATE_SQL = """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+"""
+
+
+def _streaming_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithState (typed arbitrary state, Spark 4.x): running
+    per-user counter in a ValueState handle. One drain batch → one emitted
+    row per user carrying the final running count == batch count.
+
+    NOT in the catalog: the TransformWithStateInPySpark runner needs a
+    working ``google.protobuf`` and this container's protobuf install is
+    broken (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). The operator
+    and this builder are kept, environment-gated, with a skip-marked test
+    (tests/test_streaming2.py) that activates wherever protobuf works;
+    applyInPandasWithState (streaming_stateful_dedup) covers the
+    arbitrary-state surface in the catalog meanwhile."""
+    name = "eng_tws_" + uuid.uuid4().hex[:8]
+    chk = tempfile.mkdtemp(prefix="eng_tws_chk_")
+    counts = streaming_running_counts(read_events_stream(spark, sf_dir), "user_id")
+    with _stream_shuffle_partitions(spark, 8):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", chk)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.col("key").alias("user_id"), F.col("running_count").alias("n_events")
+    )
+
+
+QUERIES = [
+    Query("streaming_dropdup_watermark", _streaming_dropdup_watermark, _DROPDUP_SQL,
+          ("streaming", "dedup", "dropDuplicatesWithinWatermark")),
+    Query("streaming_complete_topk", _streaming_complete_topk, _COMPLETE_SQL,
+          ("streaming", "complete_mode")),
+    Query("streaming_update_counts", _streaming_update_counts, _UPDATE_SQL,
+          ("streaming", "update_mode")),
+    # streaming_transform_with_state is environment-gated — see its docstring
+]

@@ -1,0 +1,100 @@
+"""Tests for the second streaming wave (plans/streaming_q2.py): output-mode
+semantics vs batch equivalents, plan checks for the hint/cache queries, and
+the environment-gated transformWithState operator."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bridge_monitoring_pyspark_spark.plans.catalog import all_queries
+from bridge_monitoring_pyspark_spark.sources.readers import load_table
+
+from conftest import SF_SMOKE
+
+CATALOG = all_queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dropdup_watermark_restores_cardinality(spark):
+    """The doubled stream must collapse back to exactly the source rows."""
+    out = CATALOG["streaming_dropdup_watermark"].build(spark, SF_SMOKE)
+    src = load_table(spark, SF_SMOKE, "events")
+    assert out.count() == src.count()
+    assert out.select(F.countDistinct("event_id")).first()[0] == src.count()
+
+
+def test_complete_mode_equals_batch(spark):
+    got = {
+        r.event_type: (r.n_events, r.avg_value)
+        for r in CATALOG["streaming_complete_topk"].build(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r.event_type: (r.n, round(r.av, 4))
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("av"))
+        .collect()
+    }
+    assert got == {k: (n, round(av, 4)) for k, (n, av) in want.items()}
+
+
+def test_update_mode_emits_final_counts(spark):
+    got = {
+        r.user_id: r.n_events
+        for r in CATALOG["streaming_update_counts"].build(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_shuffle_hash_hint_applies(spark):
+    plan = _plan(CATALOG["hinted_shuffle_hash_join"].build(spark, SF_SMOKE))
+    assert "ShuffledHashJoin" in plan
+
+
+def test_cached_reuse_hits_memory_scan(spark):
+    df = CATALOG["cached_reuse_metrics"].build(spark, SF_SMOKE)
+    df.count()  # materialize the cache
+    assert "InMemoryTableScan" in _plan(df)
+
+
+def _protobuf_ok() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _protobuf_ok(),
+    reason="transformWithState needs google.protobuf; broken in this container",
+)
+def test_transform_with_state_running_counts(spark):
+    from bridge_monitoring_pyspark_spark.plans.streaming_q2 import (
+        _streaming_transform_with_state,
+    )
+
+    got = {
+        r.user_id: r.n_events
+        for r in _streaming_transform_with_state(spark, SF_SMOKE).collect()
+    }
+    want = {
+        r.user_id: r.n
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
