@@ -72,3 +72,41 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "payload", "meta").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes int, first_byte int"
+
+
+def sample_frames(df: DataFrame, stride: int = 256) -> DataFrame:
+    """Fixed-stride frame sampling over binary payloads — the video
+    analogue (every Nth frame / byte window) of :func:`extract_features`,
+    demonstrating the one-to-many Arrow mapping: each input row yields one
+    output row per frame. The frame *decode* would slot into
+    :func:`decode_media`; here each frame contributes deterministic byte
+    features so the query stays oracle-checkable.
+
+    Scale notes: output fan-out is byte_len/stride per row — project away
+    the payload right after this step, and pick stride so frames-per-task
+    stays bounded (frame sampling at 100 TB is an explode of the largest
+    column in the dataset)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, sizes, firsts = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for k, start in enumerate(range(0, len(payload), stride)):
+                    frame = payload[start : start + stride]
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    sizes.append(len(frame))
+                    firsts.append(frame[0] if len(frame) else -1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_bytes": sizes,
+                    "first_byte": firsts,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)

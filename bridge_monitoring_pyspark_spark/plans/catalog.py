@@ -37,6 +37,7 @@ def all_queries() -> dict[str, Query]:
         advanced,
         bridge,
         extras,
+        extras2,
         llmdata,
         llmdata2,
         relational2,
@@ -48,7 +49,7 @@ def all_queries() -> dict[str, Query]:
     out: dict[str, Query] = {}
     for mod in (
         bridge, tpch, llmdata, streaming_q, extras, advanced,
-        relational2, llmdata2, streaming_q2,
+        relational2, llmdata2, streaming_q2, extras2,
     ):
         for q in mod.QUERIES:
             if q.name in out:
