@@ -56,3 +56,49 @@ def token_count_estimate(text: Column) -> Column:
 def fingerprint_md5(text: Column) -> Column:
     """Canonical-form content fingerprint: md5 of lowercased trimmed text."""
     return F.md5(F.encode(F.lower(F.trim(text)), "UTF-8"))
+
+
+def kgram_md5(text: Column, k: int) -> Column:
+    """Rolling k-gram hash sequence: md5 of every k-char window (position
+    order preserved). Empty array for texts shorter than k."""
+    h = F.transform(
+        F.sequence(F.lit(1), F.length(text) - k + 1),
+        lambda i: F.md5(F.encode(F.substring(text, i, F.lit(k)), "UTF-8")),
+    )
+    return F.when(F.length(text) >= k, h).otherwise(F.array().cast("array<string>"))
+
+
+def winnow_from_hashes(h: Column, w: int = 4) -> Column:
+    """Winnowing over an already-materialized hash-sequence column: the
+    distinct minima of every ``w``-window.
+
+    ``h`` MUST be a real column (materialized by a prior select), not an
+    inline expression: Spark expression trees are trees, not DAGs, so an
+    inline ``h`` would be re-evaluated on every window iteration of the
+    transform — turning an O(n) pass into O(n^2) hashing per row."""
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(h) - w + 1),
+        lambda j: F.array_min(F.slice(h, j, w)),
+    )
+    return F.when(F.size(h) >= w, F.array_distinct(wins)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def winnow_fingerprints(df, text_col: str, out_col: str = "fps",
+                        k: int = 8, w: int = 4):
+    """Winnowing document fingerprint (Schleimer et al., MOSS): the distinct
+    minima of every ``w``-window over the k-gram hash sequence. Guarantees
+    at least one shared fingerprint for any match of length >= w + k - 1,
+    while keeping ~2/(w+1) of the hashes — the standard rolling-hash
+    fingerprint for plagiarism/near-dup detection.
+
+    DataFrame→DataFrame (adds ``out_col``): the k-gram hash array is
+    materialized as a column between the two steps, so each hash is
+    computed exactly once per row (see :func:`winnow_from_hashes`). Both
+    steps are higher-order-function pipelines — JVM-side, nothing leaves
+    the row at 100 TB."""
+    hashed = df.withColumn("__kgram_h", kgram_md5(F.col(text_col), k))
+    return hashed.withColumn(out_col, winnow_from_hashes(F.col("__kgram_h"), w)).drop(
+        "__kgram_h"
+    )

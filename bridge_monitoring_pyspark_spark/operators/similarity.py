@@ -246,3 +246,87 @@ def ivf_topk(
         "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id",
         F.round("sim", 4).alias("cosine_sim"),
     )
+
+
+def hyperplane_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    dim: int,
+    k: int,
+    n_tables: int = 16,
+    bits: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Random-hyperplane (cosine) LSH top-k — the bucketed ANN scale path.
+
+    Each vector gets ``n_tables`` bucket keys: table t's key packs the sign
+    bits of ``bits`` random-hyperplane projections. Candidates are corpus
+    rows sharing (table, bucket) with the query in at least one table;
+    candidates are then exactly re-ranked by cosine. Bucketing is one
+    Arrow/numpy pass (a single ``dim x n_tables*bits`` matmul per batch —
+    the same tier as the brute-force path); candidate generation is an
+    equi-join on (table, bucket), i.e. a plain shuffle join Catalyst can
+    plan, never a cross join.
+
+    Scale notes (100 TB): expected candidates per query ~= n_tables *
+    |corpus| / 2^bits — tune ``bits`` up with corpus size to keep the
+    re-rank sub-linear, ``n_tables`` up for recall. The hyperplane matrix
+    (dim x n_tables*bits doubles) broadcasts at any realistic size.
+    Self-matches are excluded.
+    """
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(dim, n_tables * bits))
+    weights = (2 ** np.arange(bits)).astype(np.int64)
+
+    bucket_schema = "id long, table int, bucket long"
+
+    def bucketize(id_name: str):
+        def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                signs = (X @ planes) > 0  # (n, n_tables*bits)
+                codes = signs.reshape(len(pdf), n_tables, bits) @ weights
+                ids = np.repeat(pdf[id_name].to_numpy(), n_tables)
+                tables = np.tile(np.arange(n_tables, dtype=np.int32), len(pdf))
+                yield pd.DataFrame(
+                    {"id": ids, "table": tables, "bucket": codes.reshape(-1)}
+                )
+
+        return fn
+
+    qb = queries.select(F.col(query_id).alias("qid"), vec_col).mapInPandas(
+        bucketize("qid"), bucket_schema
+    )
+    cb = corpus.select(F.col(corpus_id).alias("cid"), vec_col).mapInPandas(
+        bucketize("cid"), bucket_schema
+    )
+    cand = (
+        qb.alias("q")
+        .join(cb.alias("c"), ["table", "bucket"])
+        .where(F.col("q.id") != F.col("c.id"))
+        .select(F.col("q.id").alias("query_id"), F.col("c.id").alias("neighbor_id"))
+        .distinct()
+    )
+    qv = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"))
+    cv = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("sim", cosine_similarity(F.col("__qv"), F.col("__cv")))
+    )
+    ranked = top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.round("sim", 6).desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    )
+    return ranked.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id",
+        F.round("sim", 4).alias("cosine_sim"),
+    )

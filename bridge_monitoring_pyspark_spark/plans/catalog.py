@@ -45,12 +45,13 @@ def all_queries() -> dict[str, Query]:
         streaming_q2,
         tpch,
         tpch2,
+        extras3,
     )
 
     out: dict[str, Query] = {}
     for mod in (
         bridge, tpch, llmdata, streaming_q, extras, advanced,
-        relational2, llmdata2, streaming_q2, extras2, tpch2,
+        relational2, llmdata2, streaming_q2, extras2, tpch2, extras3,
     ):
         for q in mod.QUERIES:
             if q.name in out:

@@ -1,0 +1,144 @@
+"""Fourth extension wave: rolling-hash winnowing fingerprints, random-
+hyperplane LSH ANN, unpivot/melt, and Arrow-native (mapInArrow) vector
+analytics.
+
+Oracle notes: winnowing is mirrored in DuckDB with list comprehensions over
+md5(substring(...)) — both engines hash the same UTF-8 bytes and compare hex
+digests with binary collation, so window minima agree exactly. The LSH query
+is approximate by design (rows-only driver check; recall and re-rank
+exactness are pytest-verified against the brute-force oracle query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import winnow_fingerprints
+from ..operators.similarity import hyperplane_lsh_topk
+from ..sources.readers import load_table
+from .catalog import Query
+
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+# --- Winnowing rolling-hash fingerprints --------------------------------------
+def _winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint summary (count + extremes of the
+    fingerprint set). The fingerprint arrays themselves feed near-dup
+    joins; the summary keeps the oracle result compact."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        winnow_fingerprints(d, "text", "fps", k=WINNOW_K, w=WINNOW_W)
+        .select(
+            "doc_id",
+            F.size("fps").alias("n_fps"),
+            F.array_min("fps").alias("min_fp"),
+            F.array_max("fps").alias("max_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_WINNOW_SQL = f"""
+WITH g AS (
+  SELECT doc_id,
+         [md5(substring(text, i, {WINNOW_K}))
+          for i in range(1, length(text) - {WINNOW_K} + 2)] AS h
+  FROM documents
+),
+w AS (
+  SELECT doc_id,
+         list_distinct([list_min(h[j:j+{WINNOW_W - 1}])
+                        for j in range(1, len(h) - {WINNOW_W} + 2)]) AS fps
+  FROM g
+)
+SELECT doc_id, CAST(len(fps) AS INT) AS n_fps,
+       list_min(fps) AS min_fp, list_max(fps) AS max_fp
+FROM w
+ORDER BY doc_id
+"""
+
+
+# --- Random-hyperplane LSH ANN ------------------------------------------------
+def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-5 for query vectors vec_id < 10.
+    Approximate by design: no SQL oracle (rows-only driver check); pytest
+    measures recall vs the exact `ann_cosine_topk` and re-rank
+    correctness."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    return hyperplane_lsh_topk(
+        q, e, "vec_id", "vec_id", "embedding", dim=64, k=5,
+        n_tables=16, bits=5, seed=42,
+    ).orderBy("query_id", "rank")
+
+
+# --- Unpivot / melt -----------------------------------------------------------
+def _unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (DataFrame.unpivot, Spark 3.4+): part metrics as
+    (key, metric, value) rows — the inverse of pivot, a metadata-only
+    projection (no shuffle)."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.round("p_retailprice", 4).alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    )
+    return p.unpivot(
+        ["p_partkey"], ["p_retailprice", "p_size"], "metric", "value"
+    ).orderBy("p_partkey", "metric")
+
+
+_UNPIVOT_SQL = """
+SELECT p_partkey, metric, value FROM (
+  SELECT p_partkey, 'p_retailprice' AS metric, round(p_retailprice, 4) AS value
+  FROM part
+  UNION ALL
+  SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+  FROM part
+) t
+ORDER BY p_partkey, metric
+"""
+
+
+# --- mapInArrow vector analytics ----------------------------------------------
+def _emb_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms via mapInArrow — the Arrow-native UDF surface (no pandas
+    conversion at all: RecordBatch in, RecordBatch out). Sequential
+    float64 summation matches the oracle's list_sum order exactly."""
+    import pyarrow as pa
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def norms(batches):
+        for batch in batches:
+            vec_ids = batch.column("vec_id")
+            embs = batch.column("embedding").to_pylist()
+            l2 = [
+                round(float(np.sqrt(np.add.reduce(np.asarray(v, dtype=np.float64) ** 2))), 4)
+                for v in embs
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [vec_ids, pa.array(l2, type=pa.float64())], ["vec_id", "l2_norm"]
+            )
+
+    return e.mapInArrow(norms, "vec_id long, l2_norm double").orderBy("vec_id")
+
+
+_EMB_NORMS_SQL = """
+SELECT vec_id,
+       round(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                            for x in embedding])), 4) AS l2_norm
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+QUERIES = [
+    Query("winnow_fingerprint_stats", _winnow_fingerprint_stats, _WINNOW_SQL, ("llm", "dedup", "fingerprint")),
+    Query("ann_lsh_topk", _ann_lsh_topk, None, ("llm", "ann", "no_oracle")),
+    Query("unpivot_part_metrics", _unpivot_part_metrics, _UNPIVOT_SQL, ("reshape",)),
+    Query("emb_norms_arrow", _emb_norms_arrow, _EMB_NORMS_SQL, ("llm", "vector", "arrow")),
+]
