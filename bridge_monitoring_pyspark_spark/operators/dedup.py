@@ -173,9 +173,15 @@ def minhash_lsh_candidates(
         )
         for b in range(n_bands)
     ]
-    bands = sigs.select(
-        "doc", F.explode(F.array(*band_structs)).alias("band")
-    ).select("doc", "band.band_idx", "band.band_hash")
+    bands = (
+        sigs.select("doc", F.explode(F.array(*band_structs)).alias("band"))
+        .select("doc", "band.band_idx", "band.band_hash")
+        # materialize once: the self-join below would otherwise execute the
+        # whole signature pipeline (scan + 128 min-hash aggregates) twice —
+        # Spark's ReuseExchange does not fire across the broadcast/shuffle
+        # mix AQE picks here
+        .localCheckpoint()
+    )
     return (
         bands.alias("a")
         .join(

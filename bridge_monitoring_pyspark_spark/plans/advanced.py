@@ -196,8 +196,12 @@ def _dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    exact = exact_dedup_min_by(docs, "text", "doc_id", ["doc_id", "text"])
-    p = shingle_postings(exact, "doc_id", "text", SHINGLE_N)
+    # materialize both reused stages once: `exact` feeds the postings AND
+    # the final anti-join; `p` is read by candidate generation, verify, and
+    # both size lookups — without checkpoints each reference re-runs the
+    # dedup window + full-corpus shingling
+    exact = exact_dedup_min_by(docs, "text", "doc_id", ["doc_id", "text"]).localCheckpoint()
+    p = shingle_postings(exact, "doc_id", "text", SHINGLE_N).localCheckpoint()
     cands = minhash_lsh_candidates(p, num_hashes=128, rows_per_band=4)
     pairs = verify_candidates_jaccard(cands, p, JACCARD_THRESHOLD)
     comps = neardup_components(pairs)
