@@ -142,3 +142,128 @@ QUERIES = [
     Query("unpivot_part_metrics", _unpivot_part_metrics, _UNPIVOT_SQL, ("reshape",)),
     Query("emb_norms_arrow", _emb_norms_arrow, _EMB_NORMS_SQL, ("llm", "vector", "arrow")),
 ]
+
+
+# --- Custom Python Data Source (Spark 4) --------------------------------------
+def _pyds_generated_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch read from the engine-native Python data source (the
+    reference's external JSON generator re-expressed as an in-executor
+    source; sources/pyds.py). Generation is parallel per id-range
+    partition; fields are exact integer arithmetic so DuckDB regenerates
+    identical rows from range(n)."""
+    from ..sources.pyds import register
+
+    register(spark)
+    e = (
+        spark.read.format("bridge_events")
+        .option("n", 5000)
+        .option("numPartitions", 8)
+        .load()
+    )
+    return (
+        e.groupBy("bridge_id", "sensor_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.max("lag_seconds").alias("max_lag"),
+            F.min("event_time").alias("first_event"),
+            F.max("event_time").alias("last_event"),
+        )
+        .orderBy("bridge_id", "sensor_type")
+    )
+
+
+_PYDS_SQL = """
+WITH e AS (
+  SELECT CAST(i % 5 + 1 AS INT) AS bridge_id,
+         ['temperature', 'vibration', 'tilt'][i % 3 + 1] AS sensor_type,
+         ((i * 2654435761) % 100000) / 1000.0 AS value,
+         TIMESTAMP '1996-01-01' + i * INTERVAL 1 SECOND AS event_time,
+         CAST((i * 2654435761) % 60 AS INT) AS lag_seconds
+  FROM (SELECT unnest(range(5000)) AS i)
+)
+SELECT bridge_id, sensor_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(avg(value), 4) AS avg_value,
+       max(lag_seconds) AS max_lag,
+       min(event_time) AS first_event,
+       max(event_time) AS last_event
+FROM e
+GROUP BY bridge_id, sensor_type
+ORDER BY bridge_id, sensor_type
+"""
+
+
+def _streaming_pyds_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batch stream from the Python data source's stream reader
+    (offset = event id; replay via readBetweenOffsets) into a parquet
+    sink, then the same aggregate over the sink. The source is finite
+    (n=1000), so the stream drains to a deterministic end state."""
+    import tempfile
+    import time
+
+    from ..sources.pyds import register
+
+    register(spark)
+    base = tempfile.mkdtemp(prefix="eng_pyds_")
+    stream = (
+        spark.readStream.format("bridge_events")
+        .option("n", 1000)
+        .option("batchSize", 250)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", base + "/out")
+        .option("checkpointLocation", base + "/ckpt")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(base + "/out").count() >= 1000:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.3)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    out = spark.read.parquet(base + "/out")
+    return (
+        out.groupBy("sensor_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.max("event_id").alias("max_event_id"),
+        )
+        .orderBy("sensor_type")
+    )
+
+
+_STREAMING_PYDS_SQL = """
+WITH e AS (
+  SELECT ['temperature', 'vibration', 'tilt'][i % 3 + 1] AS sensor_type,
+         ((i * 2654435761) % 100000) / 1000.0 AS value,
+         i AS event_id
+  FROM (SELECT unnest(range(1000)) AS i)
+)
+SELECT sensor_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value,
+       max(event_id) AS max_event_id
+FROM e
+GROUP BY sensor_type
+ORDER BY sensor_type
+"""
+
+QUERIES.extend(
+    [
+        Query("pyds_generated_events", _pyds_generated_events, _PYDS_SQL,
+              ("source", "python_datasource")),
+        Query("streaming_pyds_ingest", _streaming_pyds_ingest, _STREAMING_PYDS_SQL,
+              ("source", "python_datasource", "streaming")),
+    ]
+)
