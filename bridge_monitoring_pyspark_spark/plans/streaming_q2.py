@@ -156,3 +156,43 @@ QUERIES = [
           ("streaming", "update_mode")),
     # streaming_transform_with_state is environment-gated — see its docstring
 ]
+
+
+def _streaming_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER windowed join (run_gold_left_outer):
+    null-padded unmatched windows emit on watermark close."""
+    import tempfile
+
+    from ..streaming.jobs import run_gold_left_outer
+
+    out = run_gold_left_outer(spark, sf_dir, tempfile.mkdtemp(prefix="eng_outer_"))
+    return spark.read.parquet(out).orderBy("window_start")
+
+
+_LEFT_OUTER_SQL = """
+WITH wm AS (
+  SELECT least(
+    (SELECT max(ts) FROM events WHERE event_type = 'click'),
+    (SELECT max(ts) FROM events WHERE event_type = 'error' AND value > 90)
+  ) - INTERVAL 2 MINUTE AS w
+),
+c AS (
+  SELECT date_trunc('hour', ts) AS ws, round(avg(value), 4) AS avg_click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+e AS (
+  SELECT date_trunc('hour', ts) AS ws, round(max(value), 4) AS max_error_value
+  FROM events WHERE event_type = 'error' AND value > 90 GROUP BY 1
+)
+SELECT c.ws AS window_start, c.ws + INTERVAL 1 HOUR AS window_end,
+       c.avg_click_value, e.max_error_value
+FROM c LEFT JOIN e ON c.ws = e.ws
+CROSS JOIN wm
+WHERE c.ws + INTERVAL 1 HOUR <= wm.w
+ORDER BY window_start
+"""
+
+QUERIES.append(
+    Query("streaming_left_outer_join", _streaming_left_outer, _LEFT_OUTER_SQL,
+          ("streaming", "join", "outer", "T7"))
+)

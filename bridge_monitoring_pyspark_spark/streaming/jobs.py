@@ -307,3 +307,53 @@ def run_gold(
     else:  # pragma: no cover
         spark.streams.awaitAnyTermination()
     return os.path.join(out_dir, "gold_metrics")
+
+
+def run_gold_left_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 minutes",
+    available_now: bool = True,
+    shuffle_partitions: int | None = 8,
+) -> str:
+    """Stream-stream LEFT OUTER join of two watermarked windowed aggregates
+    — the outer-join extension of :func:`run_gold` (the reference only
+    inner-joins, pipelines/gold_aggregation.py:82-99). Unmatched left
+    windows emit null-padded once the watermark passes their window end;
+    the error branch is filtered sparse (value > 90) so outer rows actually
+    occur.
+
+    Emission rule (verified empirically, and what the oracle encodes): a
+    row emits iff window_end <= min(max ts of each branch) - watermark;
+    matched rows carry the right aggregate, unmatched carry NULL — the
+    outer-state eviction happens in the same commit that closes the
+    window, so availableNow drains to the closed-form result."""
+    events = read_events_stream(spark, sf_dir)
+    win = F.window("ts", window)
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .withWatermark("ts", watermark)
+        .groupBy(win.alias("window"))
+        .agg(F.round(F.avg("value"), 4).alias("avg_click_value"))
+    )
+    errors = (
+        events.where((F.col("event_type") == "error") & (F.col("value") > 90))
+        .withWatermark("ts", watermark)
+        .groupBy(win.alias("window"))
+        .agg(F.round(F.max("value"), 4).alias("max_error_value"))
+    )
+    flat = clicks.join(errors, on="window", how="left_outer").select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "avg_click_value",
+        "max_error_value",
+    )
+    with _stream_shuffle_partitions(spark, shuffle_partitions):
+        q = _write(flat, out_dir, "gold_outer", available_now)
+    if available_now:
+        q.awaitTermination()
+    else:  # pragma: no cover
+        spark.streams.awaitAnyTermination()
+    return os.path.join(out_dir, "gold_outer")
