@@ -46,12 +46,13 @@ def all_queries() -> dict[str, Query]:
         tpch,
         tpch2,
         extras3,
+        extras4,
     )
 
     out: dict[str, Query] = {}
     for mod in (
         bridge, tpch, llmdata, streaming_q, extras, advanced,
-        relational2, llmdata2, streaming_q2, extras2, tpch2, extras3,
+        relational2, llmdata2, streaming_q2, extras2, tpch2, extras3, extras4,
     ):
         for q in mod.QUERIES:
             if q.name in out:

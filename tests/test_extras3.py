@@ -109,3 +109,25 @@ def test_unpivot_roundtrip(spark):
         | (F.col("w_size") != F.col("p_size"))
     )
     assert diff.count() == 0
+
+
+def test_hll_sketch_accuracy(spark):
+    """HLL estimates must track exact distinct counts within sketch error."""
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = (
+        load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
+    )
+    approx = {
+        r.event_type: r.approx_users
+        for r in all_queries()["sketch_distinct_users"].build(spark, SF_SMOKE).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        rel_err = abs(est - exact[k]) / max(exact[k], 1)
+        assert rel_err <= 0.05, f"{k}: HLL est {est} vs exact {exact[k]}"
