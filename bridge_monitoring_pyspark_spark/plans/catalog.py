@@ -47,12 +47,14 @@ def all_queries() -> dict[str, Query]:
         tpch2,
         extras3,
         extras4,
+        extras5,
     )
 
     out: dict[str, Query] = {}
     for mod in (
         bridge, tpch, llmdata, streaming_q, extras, advanced,
         relational2, llmdata2, streaming_q2, extras2, tpch2, extras3, extras4,
+        extras5,
     ):
         for q in mod.QUERIES:
             if q.name in out:
