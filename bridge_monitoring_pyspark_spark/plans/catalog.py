@@ -48,6 +48,7 @@ def all_queries() -> dict[str, Query]:
         extras3,
         extras4,
         extras5,
+        extras6,
     )
 
     out: dict[str, Query] = {}
@@ -55,6 +56,7 @@ def all_queries() -> dict[str, Query]:
         bridge, tpch, llmdata, streaming_q, extras, advanced,
         relational2, llmdata2, streaming_q2, extras2, tpch2, extras3, extras4,
         extras5,
+        extras6,
     ):
         for q in mod.QUERIES:
             if q.name in out:
