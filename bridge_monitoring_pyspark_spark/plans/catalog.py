@@ -49,6 +49,7 @@ def all_queries() -> dict[str, Query]:
         extras4,
         extras5,
         extras6,
+        extras7,
     )
 
     out: dict[str, Query] = {}
@@ -57,6 +58,7 @@ def all_queries() -> dict[str, Query]:
         relational2, llmdata2, streaming_q2, extras2, tpch2, extras3, extras4,
         extras5,
         extras6,
+        extras7,
     ):
         for q in mod.QUERIES:
             if q.name in out:
