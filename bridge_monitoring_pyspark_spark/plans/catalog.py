@@ -50,6 +50,7 @@ def all_queries() -> dict[str, Query]:
         extras5,
         extras6,
         extras7,
+        extras8,
     )
 
     out: dict[str, Query] = {}
@@ -59,6 +60,7 @@ def all_queries() -> dict[str, Query]:
         extras5,
         extras6,
         extras7,
+        extras8,
     ):
         for q in mod.QUERIES:
             if q.name in out:
