@@ -51,6 +51,7 @@ def all_queries() -> dict[str, Query]:
         extras6,
         extras7,
         extras8,
+        extras9,
     )
 
     out: dict[str, Query] = {}
@@ -61,6 +62,7 @@ def all_queries() -> dict[str, Query]:
         extras6,
         extras7,
         extras8,
+        extras9,
     ):
         for q in mod.QUERIES:
             if q.name in out:

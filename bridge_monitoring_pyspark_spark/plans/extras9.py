@@ -1,0 +1,163 @@
+"""Tenth extension wave: streaming checkpoint-restart (exactly-once across
+process restarts) and an iterative algorithm expressed in pure DataFrame
+ops (Lloyd's k-means over the embeddings table).
+
+Oracle notes: the restart query is the strongest streaming-semantics check
+in the catalog — the stream is drained in TWO separate query incarnations
+sharing one checkpoint, with files added between them; duplicated or lost
+micro-batches break the batch-equality oracle. K-means is rows-only for
+the driver (argmin ties are float-sensitive) with a pytest that replays
+the identical iterations in numpy.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .catalog import Query
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+
+
+# --- Checkpoint restart / exactly-once ------------------------------------------
+def _streaming_restart_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across RESTARTS: drain half the input files with one
+    streaming query, stop it, add the other half, then start a NEW query
+    object on the same checkpoint. The offset WAL must resume after the
+    files the first incarnation committed — reprocessing doubles counts,
+    dropping loses them, and either breaks the oracle. This is the
+    recovery contract a 100 TB pipeline leans on every deploy/failure
+    (SURVEY.md §2.9 T4; reference keeps one checkpoint per sink,
+    pipelines/bronze_ingest.py:67)."""
+    base = tempfile.mkdtemp(prefix="eng_restart_")
+    src, out, chk = (os.path.join(base, d) for d in ("src", "out", "chk"))
+    os.makedirs(src)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    first, second = ev.where(F.col("event_id") % 2 == 0), ev.where(
+        F.col("event_id") % 2 == 1
+    )
+    schema = ev.schema
+
+    def drain(tag: str) -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start(queryName=f"restart_{tag}")
+        )
+        q.awaitTermination()
+
+    first.repartition(2).write.mode("append").parquet(src)
+    drain("first")  # incarnation 1 commits files 1-2, then exits
+    second.repartition(2).write.mode("append").parquet(src)
+    drain("second")  # incarnation 2 must process ONLY the new files
+
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_id").alias("n_unique"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_RESTART_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# --- Lloyd's k-means in pure DataFrame ops --------------------------------------
+def _assign(points: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """Assign each point to its nearest centroid. The centroid table is a
+    literal array expression (the model is tiny; the data never moves):
+    distance per centroid via zip_with sum-of-squares, argmin via
+    array_position of array_min — all codegen, no Python."""
+    dist_cols = [
+        F.aggregate(
+            F.zip_with(
+                "embedding",
+                F.array(*[F.lit(float(x)) for x in vec]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias(f"d{cid}")
+        for cid, vec in cents
+    ]
+    darr = F.array(*[F.col(f"d{cid}") for cid, _ in cents])
+    return (
+        points.select("vec_id", "embedding", *dist_cols)
+        .withColumn(
+            "cluster", F.array_position(darr, F.array_min(darr)).cast("int") - 1
+        )
+        .select("vec_id", "embedding", "cluster")
+    )
+
+
+def _kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=8, 5 iterations, deterministic init = the k
+    lowest vec_ids) with the data plane fully distributed: per iteration
+    one narrow assignment pass + one groupBy(cluster, dim) mean to update
+    centroids. Only the k×64 model crosses to the driver each round —
+    the classic iterative-ML-on-Spark shape (MLlib does the same loop).
+    Rows-only driver check; pytest replays the loop in numpy bit-for-bit
+    (same init, same iteration count)."""
+    pts = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        # reused every iteration: materialize once
+        .localCheckpoint()
+    )
+    init = pts.orderBy("vec_id").limit(KMEANS_K).collect()
+    cents = [(i, list(map(float, r.embedding))) for i, r in enumerate(init)]
+    for _ in range(KMEANS_ITERS):
+        assigned = _assign(pts, cents)
+        new = (
+            assigned.select("cluster", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cluster", F.col("dm.m").alias("centroid"))
+            .collect()
+        )
+        upd = {r.cluster: list(map(float, r.centroid)) for r in new}
+        cents = [(cid, upd.get(cid, vec)) for cid, vec in cents]
+    final = _assign(pts, cents)
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("vec_id").alias("min_vec_id"),
+        )
+        .orderBy("cluster")
+    )
+
+
+QUERIES = [
+    Query("streaming_restart_exactly_once", _streaming_restart_exactly_once,
+          _RESTART_SQL, ("streaming", "checkpoint", "exactly_once")),
+    Query("kmeans_embeddings", _kmeans_embeddings, None,
+          ("llm", "iterative", "clustering", "no_oracle")),
+]
