@@ -52,6 +52,7 @@ def all_queries() -> dict[str, Query]:
         extras7,
         extras8,
         extras9,
+        extras10,
     )
 
     out: dict[str, Query] = {}
@@ -63,6 +64,7 @@ def all_queries() -> dict[str, Query]:
         extras7,
         extras8,
         extras9,
+        extras10,
     ):
         for q in mod.QUERIES:
             if q.name in out:
