@@ -53,6 +53,7 @@ def all_queries() -> dict[str, Query]:
         extras8,
         extras9,
         extras10,
+        extras11,
     )
 
     out: dict[str, Query] = {}
@@ -65,6 +66,7 @@ def all_queries() -> dict[str, Query]:
         extras8,
         extras9,
         extras10,
+        extras11,
     ):
         for q in mod.QUERIES:
             if q.name in out:
