@@ -1,0 +1,105 @@
+"""Scale-behavior tests: AQE skew-join splitting must engage on a hot key,
+and the DQ split must satisfy its partition invariant on arbitrary
+hypothesis-generated rows (not just the fixture distributions)."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from bridge_monitoring_pyspark_spark.operators.dq import split_valid_invalid
+
+
+def test_aqe_splits_skewed_join(spark):
+    """One key holding ~95% of the fact side: with AQE skew-join thresholds
+    lowered, the final adaptive plan must mark the sort-merge join as
+    skew-handled (isSkew=true partitions) instead of leaving one straggler
+    task with the whole hot key — the runtime re-plan this engine relies
+    on for 100 TB skew (SCALING.md §Joins)."""
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        # a keyed agg right after the join pins the join's output
+        # distribution and vetoes the split unless forced
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        # sha2 payload: incompressible AND referenced downstream, so column
+        # pruning can't shrink the hot partition below the skew threshold
+        payload = F.sha2(F.col("id").cast("string"), 256)
+        hot = spark.range(200_000).select(F.lit(7).alias("k"), payload.alias("p"))
+        tail = spark.range(10_000).select(
+            (F.col("id") % 97 + 100).alias("k"), payload.alias("p")
+        )
+        fact = hot.unionByName(tail)
+        dim = spark.range(300).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("attr")
+        )
+        joined = (
+            fact.join(dim, "k")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.length("p")).alias("lp"))
+        )
+        rows = {r.k: r.n for r in joined.collect()}
+        assert rows[7] == 200_000  # correctness under the split
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.floats(allow_infinity=False, width=64)),
+            st.one_of(st.none(), st.integers(min_value=-10, max_value=10)),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_dq_split_partition_invariant(spark, rows):
+    """For ANY input (nulls, NaNs, extremes): valid ∪ invalid == input and
+    valid ∩ invalid == ∅ — the quarantine router may never drop or
+    duplicate a row, the property the reference relies on for its
+    bronze/silver routing (SURVEY.md §2.2 P2)."""
+    df = spark.createDataFrame(
+        [(v, b) for v, b in rows], "value double, bridge_id int"
+    )
+    cond = (
+        F.col("value").isNotNull()
+        & ~F.isnan("value")
+        & (F.col("value") >= -40)
+        & (F.col("value") <= 80)
+    )
+    valid, invalid = split_valid_invalid(df, cond)
+    n, nv, ni = df.count(), valid.count(), invalid.count()
+    assert nv + ni == n
+    for r in valid.collect():
+        assert r.value is not None and not math.isnan(r.value)
+        assert -40 <= r.value <= 80
