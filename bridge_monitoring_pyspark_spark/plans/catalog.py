@@ -54,6 +54,7 @@ def all_queries() -> dict[str, Query]:
         extras9,
         extras10,
         extras11,
+        extras12,
     )
 
     out: dict[str, Query] = {}
@@ -67,6 +68,7 @@ def all_queries() -> dict[str, Query]:
         extras9,
         extras10,
         extras11,
+        extras12,
     ):
         for q in mod.QUERIES:
             if q.name in out:
