@@ -55,6 +55,7 @@ def all_queries() -> dict[str, Query]:
         extras10,
         extras11,
         extras12,
+        extras13,
     )
 
     out: dict[str, Query] = {}
@@ -69,6 +70,7 @@ def all_queries() -> dict[str, Query]:
         extras10,
         extras11,
         extras12,
+        extras13,
     ):
         for q in mod.QUERIES:
             if q.name in out:
