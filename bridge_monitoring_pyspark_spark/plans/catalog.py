@@ -56,6 +56,7 @@ def all_queries() -> dict[str, Query]:
         extras11,
         extras12,
         extras13,
+        extras14,
     )
 
     out: dict[str, Query] = {}
@@ -71,6 +72,7 @@ def all_queries() -> dict[str, Query]:
         extras11,
         extras12,
         extras13,
+        extras14,
     ):
         for q in mod.QUERIES:
             if q.name in out:

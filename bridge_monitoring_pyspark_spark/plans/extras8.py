@@ -111,6 +111,13 @@ def _cogrouped_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate"
     )
+    # Prune the big side to keys that can produce output BEFORE the
+    # cogroup shuffle: groups whose events side is empty contribute
+    # nothing, but each still costs a Python invocation — at sf0.1 that
+    # is ~15k empty groups vs ~150 real ones (90x wall-clock). The
+    # broadcast semi-join also keeps non-matching orders out of the
+    # shuffle entirely, which is the dominant cost at 100 TB.
+    od = od.join(F.broadcast(ev.select("user_id").distinct()), "user_id", "semi")
     out = ev.groupBy("user_id").cogroup(od.groupBy("user_id")).applyInPandas(
         _asof_merge,
         "event_id long, user_id long, ts timestamp, "

@@ -100,6 +100,35 @@ def test_approx_distinct_error_bound(spark):
         assert rel_err < 0.05, f"{r.event_type}: HLL rel err {rel_err}"
 
 
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    # At 100 TB a selective dim filter should cut the fact side BEFORE the
+    # shuffle: Spark's InjectRuntimeFilter plants a bloom filter built from
+    # the filtered dim keys into the fact scan. Thresholds are sized for
+    # real clusters (10 GB application side), so pin them down to observe
+    # the rewrite on test-scale data.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_SMOKE, "lineitem")
+        p = load_table(spark, SF_SMOKE, "part").where(F.col("p_brand") == "Brand#13")
+        df = (
+            li.join(p, li.l_partkey == p.p_partkey)
+            .groupBy("p_brand")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = _optimized_plan(df)
+        assert "might_contain" in plan.lower(), "runtime bloom filter not injected"
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+
+
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert (
