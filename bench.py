@@ -28,6 +28,14 @@ from bridge_monitoring_pyspark_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    # The driver parses stdout as exactly one JSON line, but the Spark JVM
+    # writes launch/log noise straight to fd 1 (bypassing sys.stdout). Park
+    # the real stdout on a dup'd fd, point fd 1 at stderr for the whole run,
+    # and restore it only for the final JSON print.
+    real_stdout_fd = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = os.fdopen(os.dup(2), "w")
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -51,13 +59,18 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
     total = round(time.time() - t_suite, 3)
 
-    print(json.dumps({
+    line = json.dumps({
         "metric": "catalog_suite",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    }))
+    })
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
+        f.write(line + "\n")
+    spark.stop()  # flush any JVM shutdown chatter before the JSON line
+    os.dup2(real_stdout_fd, 1)
+    os.write(real_stdout_fd, (line + "\n").encode())
 
 
 if __name__ == "__main__":

@@ -259,6 +259,7 @@ def hyperplane_lsh_topk(
     n_tables: int = 16,
     bits: int = 5,
     seed: int = 42,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Random-hyperplane (cosine) LSH top-k — the bucketed ANN scale path.
 
@@ -275,7 +276,12 @@ def hyperplane_lsh_topk(
     |corpus| / 2^bits — tune ``bits`` up with corpus size to keep the
     re-rank sub-linear, ``n_tables`` up for recall. The hyperplane matrix
     (dim x n_tables*bits doubles) broadcasts at any realistic size.
-    Self-matches are excluded.
+
+    ``exclude_self=True`` drops candidates with ``query_id == corpus_id``
+    — correct ONLY when queries are drawn from the corpus (same id space).
+    Pass ``False`` when queries and corpus are distinct tables, where an
+    id collision is a legitimate neighbor (matches the brute-force/IVF
+    paths' convention).
     """
     rng = np.random.RandomState(seed)
     planes = rng.normal(size=(dim, n_tables * bits))
@@ -305,13 +311,12 @@ def hyperplane_lsh_topk(
     cb = corpus.select(F.col(corpus_id).alias("cid"), vec_col).mapInPandas(
         bucketize("cid"), bucket_schema
     )
-    cand = (
-        qb.alias("q")
-        .join(cb.alias("c"), ["table", "bucket"])
-        .where(F.col("q.id") != F.col("c.id"))
-        .select(F.col("q.id").alias("query_id"), F.col("c.id").alias("neighbor_id"))
-        .distinct()
-    )
+    cand = qb.alias("q").join(cb.alias("c"), ["table", "bucket"])
+    if exclude_self:
+        cand = cand.where(F.col("q.id") != F.col("c.id"))
+    cand = cand.select(
+        F.col("q.id").alias("query_id"), F.col("c.id").alias("neighbor_id")
+    ).distinct()
     qv = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"))
     cv = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
     scored = (

@@ -201,7 +201,9 @@ def _small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-file open overhead, and tiny row groups; a compaction pass after
     append-mode sinks is standard operating procedure. The result reports
     files before/after (via the _metadata hidden column) and row/sum
-    conservation."""
+    conservation. Exact oracle: both file counts are deterministic —
+    round-robin repartition leaves no empty partitions when rows >>
+    partitions — and conservation is plain SQL over events."""
     base = tempfile.mkdtemp(prefix="eng_compact_")
     frag, compact = os.path.join(base, "frag"), os.path.join(base, "compact")
     e = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
@@ -223,6 +225,14 @@ def _small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COMPACT_SQL = f"""
+SELECT 64 AS files_before, {COMPACT_TARGET_FILES} AS files_after,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(value), 4) AS sum_value
+FROM events
+"""
+
+
 QUERIES = [
     Query("max_concurrent_events", _max_concurrent_events, _SWEEP_SQL,
           ("window", "sweepline", "interval")),
@@ -230,6 +240,6 @@ QUERIES = [
           ("window", "scd2", "temporal")),
     Query("mad_outlier_filter", _mad_outlier_filter, _MAD_SQL,
           ("agg", "robust", "dq")),
-    Query("small_file_compaction", _small_file_compaction, None,
-          ("ops", "compaction", "no_oracle")),
+    Query("small_file_compaction", _small_file_compaction, _COMPACT_SQL,
+          ("ops", "compaction")),
 ]

@@ -156,6 +156,53 @@ PAGERANK_DAMPING = 0.85
 PAGERANK_ITERS = 25
 
 
+def _pagerank_oracle_sql() -> str:
+    """Unrolled fixed-iteration PageRank as one DuckDB query.
+
+    Recursive CTEs can't aggregate in the recursive term, but a FIXED
+    iteration count unrolls mechanically: one CTE per iteration, each the
+    same sparse-matvec (join ranks to edges, sum inflow per dst). Exact
+    oracle — every arithmetic step mirrors the Spark loop; round(6) on the
+    final ranks absorbs double summation-order noise (~1e-14 after 25
+    rounds on a <=1e1-node graph)."""
+    # AS MATERIALIZED everywhere: DuckDB otherwise inlines the single-use
+    # CTE chain and optimizer planning explodes on the 25-deep nest.
+    iters = [
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"
+    ]
+    for i in range(1, PAGERANK_ITERS + 1):
+        iters.append(
+            f"r{i} AS MATERIALIZED (SELECT nodes.node, "
+            f"(1.0 - {PAGERANK_DAMPING}) / (SELECT n FROM nn) "
+            f"+ {PAGERANK_DAMPING} * coalesce(c.inflow, 0.0) AS rank "
+            f"FROM nodes LEFT JOIN ("
+            f"SELECT e.dst, sum(e.p * r.rank) AS inflow "
+            f"FROM edges e JOIN r{i - 1} r ON e.src = r.node GROUP BY e.dst"
+            f") c ON nodes.node = c.dst)"
+        )
+    iter_ctes = ",\n".join(iters)
+    return f"""
+WITH steps AS MATERIALIZED (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+  FROM events
+),
+counts AS MATERIALIZED (
+  SELECT src, dst, count(*) AS w FROM steps WHERE dst IS NOT NULL GROUP BY src, dst
+),
+edges AS MATERIALIZED (
+  SELECT src, dst, CAST(w AS DOUBLE) / sum(w) OVER (PARTITION BY src) AS p FROM counts
+),
+nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+{iter_ctes}
+SELECT node, round(rank, 6) AS rank FROM r{PAGERANK_ITERS}
+ORDER BY rank DESC, node
+"""
+
+
 def _pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the event-type transition graph (edges = consecutive
     event pairs per user, weights = normalized transition counts) — the
@@ -165,9 +212,9 @@ def _pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan) stays O(1) across iterations instead of O(iters). The toy
     5-node graph keeps tests fast; on a billion-node graph the identical
     loop partitions edges by src and ranks by node — co-partitioned,
-    shuffle-stable across iterations. No oracle: fixpoint iteration is
-    not expressible in DuckDB's UNION ALL recursion (verified instead by
-    an exact numpy replay in tests)."""
+    shuffle-stable across iterations. Oracle: the fixed iteration count
+    unrolls into one CTE per matvec round (_pagerank_oracle_sql); an
+    exact numpy replay in tests double-checks both."""
     ev = load_table(spark, sf_dir, "events")
     w_next = Window.partitionBy("user_id").orderBy("ts", "event_id")
     steps = (
@@ -284,7 +331,7 @@ QUERIES = [
           ("analytics", "window", "trend")),
     Query("ewma_smoothing", _ewma_smoothing, _EWMA_SQL,
           ("timeseries", "pandas-udf", "smoothing")),
-    Query("pagerank_transitions", _pagerank_transitions, None,
+    Query("pagerank_transitions", _pagerank_transitions, _pagerank_oracle_sql(),
           ("graph", "iterative")),
     Query("decontaminate_ngram_overlap", _decontaminate_ngrams, _DECONTAM_SQL,
           ("llmdata", "dedup", "decontamination")),

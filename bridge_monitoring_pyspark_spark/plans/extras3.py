@@ -3,8 +3,9 @@ hyperplane LSH ANN, unpivot/melt, and Arrow-native (mapInArrow) vector
 analytics.
 
 Oracle notes: winnowing is mirrored in DuckDB with list comprehensions over
-md5(substring(...)) — both engines hash the same UTF-8 bytes and compare hex
-digests with binary collation, so window minima agree exactly. The LSH query
+the shared Horner polynomial hash (functions/text.py:winnow_hash_sql) —
+exact int64 arithmetic on both sides, so window minima agree bit-for-bit
+(the corpus is ASCII, making DuckDB's ord() the byte value). The LSH query
 is approximate by design (rows-only driver check; recall and re-rank
 exactness are pytest-verified against the brute-force oracle query).
 """
@@ -14,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import winnow_fingerprints
+from ..functions.text import winnow_fingerprint_rows, winnow_hash_sql
 from ..operators.similarity import hyperplane_lsh_topk
 from ..sources.readers import load_table
 from .catalog import Query
@@ -26,16 +27,26 @@ WINNOW_W = 4
 # --- Winnowing rolling-hash fingerprints --------------------------------------
 def _winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document winnowing fingerprint summary (count + extremes of the
-    fingerprint set). The fingerprint arrays themselves feed near-dup
-    joins; the summary keeps the oracle result compact."""
+    fingerprint set), on the codegen rows path (winnow_fingerprint_rows):
+    explode window positions, least()-of-element_at window minima, then a
+    count-distinct/min/max roll-up — no interpreted higher-order loops.
+    Docs too short to fingerprint re-enter via a left join to the doc-id
+    spine (n_fps=0, NULL extremes), matching the array form exactly."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fpr = winnow_fingerprint_rows(d, "doc_id", "text", k=WINNOW_K, w=WINNOW_W)
+    stats = fpr.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_fps"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )
     return (
-        winnow_fingerprints(d, "text", "fps", k=WINNOW_K, w=WINNOW_W)
+        d.select("doc_id")
+        .join(stats, "doc_id", "left")
         .select(
             "doc_id",
-            F.size("fps").alias("n_fps"),
-            F.array_min("fps").alias("min_fp"),
-            F.array_max("fps").alias("max_fp"),
+            F.coalesce("n_fps", F.lit(0)).alias("n_fps"),
+            "min_fp",
+            "max_fp",
         )
         .orderBy("doc_id")
     )
@@ -44,7 +55,7 @@ def _winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_SQL = f"""
 WITH g AS (
   SELECT doc_id,
-         [md5(substring(text, i, {WINNOW_K}))
+         [CAST({winnow_hash_sql("text", "i", WINNOW_K)} AS BIGINT)
           for i in range(1, length(text) - {WINNOW_K} + 2)] AS h
   FROM documents
 ),
@@ -222,13 +233,20 @@ def _streaming_pyds_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     try:
         deadline = time.time() + 120
+        drained = False
         while time.time() < deadline:
             try:
                 if spark.read.parquet(base + "/out").count() >= 1000:
+                    drained = True
                     break
             except Exception:
                 pass
             time.sleep(0.3)
+        if not drained:
+            raise TimeoutError(
+                "pyds stream did not reach 1000 rows within 120s — "
+                "slow stream or stuck source, not an aggregation bug"
+            )
     finally:
         q.stop()
         q.awaitTermination()

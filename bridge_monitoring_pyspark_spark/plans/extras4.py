@@ -4,7 +4,8 @@ stream-stream time-interval join, and mergeable distinct-count sketches.
 Oracle notes: the PII query *injects* deterministic synthetic PII (the
 fixture corpus has none) with the same concat on both sides, so the scrub
 is non-vacuous and exactly mirrored; the winnow pair query inherits the
-md5/list-min parity of `winnow_fingerprint_stats`. The HLL sketch query is
+polynomial-hash/list-min parity of `winnow_fingerprint_stats`
+(functions/text.py:winnow_hash_sql). The HLL sketch query is
 rows-only (DataSketches has no DuckDB twin) with a pytest accuracy bound
 against exact counts.
 """
@@ -14,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import winnow_fingerprints
+from ..functions.text import winnow_fingerprint_rows, winnow_hash_sql
 from ..sources.readers import load_table
 from .catalog import Query
 
@@ -36,12 +37,12 @@ def _winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampling guarantee) and the df cap removes the skewed keys that would
     otherwise dominate the self-join at 100 TB."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    # materialize fingerprints BEFORE exploding: Generate re-evaluates a
-    # non-trivial array expression per output element (measured 75x blowup),
-    # and the index is then read four more times below (df counts + filter
-    # join + both sides of the pair self-join)
-    fps = winnow_fingerprints(d, "text", "fps", k=WINNOW_K, w=WINNOW_W).localCheckpoint()
-    idx0 = fps.select("doc_id", F.explode("fps").alias("fp")).localCheckpoint()
+    # codegen rows path (winnow_fingerprint_rows); materialized once because
+    # the index is read three more times below (df counts + filter join +
+    # both sides of the pair self-join)
+    idx0 = winnow_fingerprint_rows(
+        d, "doc_id", "text", k=WINNOW_K, w=WINNOW_W
+    ).localCheckpoint()
     # document-frequency filter: a fingerprint present in many documents is
     # corpus boilerplate, not duplication signal — and it is exactly the hot
     # key that blows up the pair join (df=100k => 5e9 pairs from ONE
@@ -71,7 +72,7 @@ def _winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WINNOW_PAIRS_SQL = f"""
 WITH g AS (
   SELECT doc_id,
-         [md5(substring(text, i, {WINNOW_K}))
+         [CAST({winnow_hash_sql("text", "i", WINNOW_K)} AS BIGINT)
           for i in range(1, length(text) - {WINNOW_K} + 2)] AS h
   FROM documents
 ),

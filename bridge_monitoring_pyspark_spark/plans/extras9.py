@@ -23,6 +23,7 @@ from .catalog import Query
 
 KMEANS_K = 8
 KMEANS_ITERS = 5
+KMEANS_DIM = 64  # embedding dimensionality of the testdata corpus
 
 
 # --- Checkpoint restart / exactly-once ------------------------------------------
@@ -155,9 +156,67 @@ def _kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_oracle_sql() -> str:
+    """Unrolled fixed-iteration Lloyd's as one DuckDB query (same trick as
+    extras14's PageRank oracle): one assign/mean/update CTE triple per
+    iteration, AS MATERIALIZED so the single-use chain isn't inlined into
+    an exponentially-planned nest.
+
+    Exactness: float→double casts are value-preserving, the argmin
+    tie-break (row_number ORDER BY dist, cluster) mirrors Spark's
+    array_position-of-array_min first-match, and empty clusters keep the
+    previous centroid via the LEFT JOIN coalesce. Distances/means are
+    double sums whose engine-order differences are ~1 ulp — an assignment
+    could flip only if a point were equidistant to two centroids at that
+    precision, which random 64-d data doesn't produce (verified at
+    sf0.001/sf0.01)."""
+    dist = (
+        "list_sum(list_transform(list_zip(p.embedding, c.cent), "
+        "z -> (CAST(z[1] AS DOUBLE) - z[2]) "
+        "* (CAST(z[1] AS DOUBLE) - z[2])))"
+    )
+    parts = [
+        "pts AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings)",
+        f"""c0 AS MATERIALIZED (
+  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cluster,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+  FROM (SELECT vec_id, embedding FROM pts ORDER BY vec_id LIMIT {KMEANS_K})
+)""",
+    ]
+    for i in range(1, KMEANS_ITERS + 2):
+        parts.append(f"""a{i} AS MATERIALIZED (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT p.vec_id, p.embedding, c.cluster,
+           row_number() OVER (PARTITION BY p.vec_id
+                              ORDER BY {dist} ASC, c.cluster ASC) AS rn
+    FROM pts p CROSS JOIN c{i - 1} c
+  ) WHERE rn = 1
+)""")
+        if i > KMEANS_ITERS:
+            break  # final assignment only — no further centroid update
+        parts.append(f"""c{i} AS MATERIALIZED (
+  SELECT c.cluster, coalesce(n.cent, c.cent) AS cent
+  FROM c{i - 1} c LEFT JOIN (
+    SELECT a.cluster, list(m ORDER BY i) AS cent FROM (
+      SELECT a.cluster, t.i, avg(CAST(a.embedding[t.i] AS DOUBLE)) AS m
+      FROM a{i} a CROSS JOIN range(1, {KMEANS_DIM + 1}) t(i)
+      GROUP BY a.cluster, t.i
+    ) a GROUP BY a.cluster
+  ) n USING (cluster)
+)""")
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes}
+SELECT cluster, CAST(count(*) AS BIGINT) AS n_points, min(vec_id) AS min_vec_id
+FROM a{KMEANS_ITERS + 1}
+GROUP BY cluster
+ORDER BY cluster
+"""
+
+
 QUERIES = [
     Query("streaming_restart_exactly_once", _streaming_restart_exactly_once,
           _RESTART_SQL, ("streaming", "checkpoint", "exactly_once")),
-    Query("kmeans_embeddings", _kmeans_embeddings, None,
-          ("llm", "iterative", "clustering", "no_oracle")),
+    Query("kmeans_embeddings", _kmeans_embeddings, _kmeans_oracle_sql(),
+          ("llm", "iterative", "clustering")),
 ]

@@ -540,8 +540,9 @@ ORDER BY o_orderstatus
 def _cached_reuse_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One expensive intermediate (filtered fact join), two consumers: the
     intermediate is cached so the second aggregate reads the in-memory
-    columnar form instead of recomputing the join (InMemoryTableScan in the
-    plan test). The cache-or-recompute trade at 100 TB: cache when
+    columnar form instead of recomputing the join, and the cache is
+    released before returning (leak-checked in tests). The
+    cache-or-recompute trade at 100 TB: cache when
     (consumers - 1) x recompute cost > memory+serialization cost — here 2
     consumers over a joined slice, the canonical win."""
     cutoff = F.lit("1996-01-01").cast("timestamp")
@@ -551,13 +552,20 @@ def _cached_reuse_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority", "l_returnflag", "l_extendedprice"
     )
     base.persist()
-    by_prio = base.groupBy(F.col("o_orderpriority").alias("dim")).agg(
-        F.round(F.sum("l_extendedprice"), 4).alias("total_price")
-    ).withColumn("dim_kind", F.lit("priority"))
-    by_flag = base.groupBy(F.col("l_returnflag").alias("dim")).agg(
-        F.round(F.sum("l_extendedprice"), 4).alias("total_price")
-    ).withColumn("dim_kind", F.lit("returnflag"))
-    return by_prio.unionByName(by_flag).orderBy("dim_kind", "dim")
+    try:
+        by_prio = base.groupBy(F.col("o_orderpriority").alias("dim")).agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price")
+        ).withColumn("dim_kind", F.lit("priority"))
+        by_flag = base.groupBy(F.col("l_returnflag").alias("dim")).agg(
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price")
+        ).withColumn("dim_kind", F.lit("returnflag"))
+        # Materialize the few-row union NOW (both consumers hit the cache),
+        # then release the cached join so it doesn't squat executor storage
+        # for the rest of a 150-query suite session.
+        out = by_prio.unionByName(by_flag).orderBy("dim_kind", "dim").localCheckpoint()
+    finally:
+        base.unpersist()
+    return out
 
 
 _CACHED_SQL = """

@@ -36,6 +36,10 @@ TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch-read one driver testdata table (TESTDATA.md)."""
+    # Runtime-settable; external harnesses build vanilla sessions that lack
+    # it, and without it any table with TIMESTAMP(NANOS) columns fails with
+    # PARQUET_TYPE_ILLEGAL before the conversion below can run.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in TIMESTAMP_COLS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":

@@ -106,6 +106,7 @@ def write_json_landing(spark: SparkSession, sf_dir: str, landing_dir: str) -> No
     Hive-style date partitions — the reference's generator layout
     (data_generator/data_generator.py:72-81: streams/<sensor>/date=.../*.json).
     Test fixture only; production landing zones are written by producers."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     events = (
         spark.read.parquet(f"{sf_dir}/events.parquet")
         .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
@@ -148,8 +149,10 @@ def run_json_ingest(
     if available_now:
         for q in queries:
             q.awaitTermination()
-    else:  # pragma: no cover
-        spark.streams.awaitAnyTermination()
+    # follow mode: return with the queries running — the caller (e.g. the
+    # CLI's `all --follow`) starts every layer first, then blocks once on
+    # spark.streams.awaitAnyTermination() so downstream layers aren't
+    # starved by an upstream await.
     return {
         "valid": os.path.join(out_dir, "json_bronze_valid"),
         "rejected": os.path.join(out_dir, "json_bronze_rejected"),
@@ -195,8 +198,7 @@ def run_silver_foreachbatch(
     q = w.start()
     if available_now:
         q.awaitTermination()
-    else:  # pragma: no cover
-        spark.streams.awaitAnyTermination()
+    # follow mode: return with the query running (see run_bronze note).
     return {"valid": valid_dir, "rejected": rejected_dir}
 
 
@@ -219,8 +221,10 @@ def run_bronze(
     if available_now:
         for q in queries:
             q.awaitTermination()
-    else:  # pragma: no cover - interactive mode
-        spark.streams.awaitAnyTermination()
+    # follow mode: return with the queries running — the caller (e.g. the
+    # CLI's `all --follow`) starts every layer first, then blocks once on
+    # spark.streams.awaitAnyTermination() so downstream layers aren't
+    # starved by an upstream await.
     return {
         "valid": os.path.join(out_dir, "bronze_valid"),
         "rejected": os.path.join(out_dir, "bronze_rejected"),
@@ -255,8 +259,10 @@ def run_silver(
     if available_now:
         for q in queries:
             q.awaitTermination()
-    else:  # pragma: no cover
-        spark.streams.awaitAnyTermination()
+    # follow mode: return with the queries running — the caller (e.g. the
+    # CLI's `all --follow`) starts every layer first, then blocks once on
+    # spark.streams.awaitAnyTermination() so downstream layers aren't
+    # starved by an upstream await.
     return {
         "valid": os.path.join(out_dir, "silver_valid"),
         "rejected": os.path.join(out_dir, "silver_rejected"),
@@ -270,12 +276,17 @@ def run_gold(
     window: str = "1 hour",
     watermark: str = "2 minutes",
     available_now: bool = True,
-    shuffle_partitions: int | None = 8,
+    shuffle_partitions: int | None = 4,
 ) -> str:
     """Gold: three watermarked tumbling-window aggregates stream-stream
     INNER-joined on the window struct, flattened, one checkpointed sink —
     the chained-stateful-operators flagship
-    (reference: pipelines/gold_aggregation.py:52-118)."""
+    (reference: pipelines/gold_aggregation.py:52-118).
+
+    shuffle_partitions defaults to 4: state-store instance count =
+    partitions × stateful operators (3 aggs + 2 joins here), and the
+    hourly-window key space is O(hundreds) — measured 14s → 5s at sf0.1
+    going 8 → 4. Size it up with real key cardinality on a cluster."""
     events = read_events_stream(spark, sf_dir)
     win = F.window("ts", window)
 
@@ -304,8 +315,7 @@ def run_gold(
         q = _write(flat, out_dir, "gold_metrics", available_now)
     if available_now:
         q.awaitTermination()
-    else:  # pragma: no cover
-        spark.streams.awaitAnyTermination()
+    # follow mode: return with the query running (see run_bronze note).
     return os.path.join(out_dir, "gold_metrics")
 
 
@@ -316,7 +326,7 @@ def run_gold_left_outer(
     window: str = "1 hour",
     watermark: str = "2 minutes",
     available_now: bool = True,
-    shuffle_partitions: int | None = 8,
+    shuffle_partitions: int | None = 4,
 ) -> str:
     """Stream-stream LEFT OUTER join of two watermarked windowed aggregates
     — the outer-join extension of :func:`run_gold` (the reference only
@@ -354,6 +364,5 @@ def run_gold_left_outer(
         q = _write(flat, out_dir, "gold_outer", available_now)
     if available_now:
         q.awaitTermination()
-    else:  # pragma: no cover
-        spark.streams.awaitAnyTermination()
+    # follow mode: return with the query running (see run_bronze note).
     return os.path.join(out_dir, "gold_outer")
