@@ -299,6 +299,81 @@ def simhash64_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+SIMHASH63_BITS = 63
+
+
+def simhash63_agg(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """63-bit SimHash with an engine-neutral token hash — the
+    oracle-checkable twin of :func:`simhash64_agg` (same explode→vote→pack
+    plan; only the token hash differs).
+
+    Token hash = 63 bits carved from md5 hex (15 chars → 60 high bits,
+    3 more from the 16th char), computed identically by Spark
+    (`conv(substring(md5(..)))`) and DuckDB (`('0x'||substring(md5(..)))::
+    UBIGINT`) — md5 is the one hash both engines share. 63 bits keeps all
+    pack/vote arithmetic strictly below the int64 sign bit, so ANSI-mode
+    Spark and DuckDB BIGINT agree exactly. xxhash64's form stays the scale
+    path (~24x cheaper per token); this form exists so the driver's DuckDB
+    gate can verify the operator end-to-end."""
+    tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(words(F.col(text_col)))).alias("token"),
+    )
+    tok = (
+        tok.withColumn("m", F.md5(F.encode(F.col("token"), "UTF-8")))
+        .withColumn(
+            "h",
+            F.conv(F.substring("m", 1, 15), 16, 10).cast("long") * F.lit(8)
+            + F.expr("CAST(conv(substring(m, 16, 1), 16, 10) AS BIGINT) div 2"),
+        )
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftrightunsigned(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(SIMHASH63_BITS)
+    ]
+    packed = None
+    for b in range(SIMHASH63_BITS):
+        term = F.when(
+            F.col(f"v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        packed = term if packed is None else packed.bitwiseOR(term)
+    return tok.groupBy("doc").agg(*votes).select(
+        F.col("doc").alias(id_col), packed.alias("simhash")
+    )
+
+
+def simhash63_oracle_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB mirror of :func:`simhash63_agg` — same tokenization
+    (whitespace split of trimmed text, distinct), same md5-slice hash,
+    same vote/pack arithmetic."""
+    hash_expr = (
+        f"CAST(CAST(('0x' || substring(md5(token), 1, 15)) AS UBIGINT) AS BIGINT) * 8"
+        f" + CAST(CAST(('0x' || substring(md5(token), 16, 1)) AS UBIGINT) AS BIGINT) // 2"
+    )
+    vote_cols = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(SIMHASH63_BITS)
+    )
+    pack = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN (CAST(1 AS BIGINT) << {b}) ELSE CAST(0 AS BIGINT) END"
+        for b in range(SIMHASH63_BITS)
+    )
+    return f"""
+WITH tok AS MATERIALIZED (
+  SELECT {id_col}, unnest(list_distinct(regexp_split_to_array(trim({text_col}), '\\s+'))) AS token
+  FROM {table}
+),
+h AS MATERIALIZED (SELECT {id_col}, {hash_expr} AS h FROM tok),
+v AS MATERIALIZED (SELECT {id_col}, {vote_cols} FROM h GROUP BY {id_col})
+SELECT {id_col}, {pack} AS simhash
+FROM v
+ORDER BY {id_col}
+"""
+
+
 def token_hashes(tokens: Column) -> Column:
     """xxhash64 of each distinct token — precomputed once so the 64-bit
     vote loop below doesn't rehash per bit position."""

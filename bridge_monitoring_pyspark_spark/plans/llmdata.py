@@ -4,10 +4,12 @@ Phase 3). All run over the driver's ``documents`` / ``embeddings`` tables.
 
 Oracle notes: shingle/token semantics are written twice (Spark columns,
 DuckDB list comprehensions) with identical 0/1-based index mapping; tests
-and check_oracle.py prove they agree. xxhash64-based sketches (MinHash
-bands, SimHash) cannot be reproduced in DuckDB — the MinHash query is
-oracle-checked anyway because its *verified* output equals the brute-force
-Jaccard result; SimHash is rows-only + pytest-validated.
+and check_oracle.py prove they agree. xxhash64-based MinHash bands cannot
+be reproduced in DuckDB — the MinHash query is oracle-checked anyway
+because its *verified* output equals the brute-force Jaccard result.
+SimHash runs in the 63-bit md5-slice form (simhash63_agg) whose hash both
+engines compute, so it is oracle-exact; the xxhash64 64-bit form stays the
+scale path, pytest-validated.
 """
 
 from __future__ import annotations
@@ -25,7 +27,8 @@ from ..operators.dedup import (
     jaccard_pairs_bruteforce,
     minhash_lsh_candidates,
     shingle_postings,
-    simhash64_agg,
+    simhash63_agg,
+    simhash63_oracle_sql,
     verify_candidates_jaccard,
 )
 from ..operators.multimodal import extract_features, with_binary_payload
@@ -271,12 +274,14 @@ ORDER BY vec_a, vec_b
 
 
 def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document via the codegen-aggregate form
-    (operators/dedup.py:simhash64_agg). No DuckDB oracle — xxhash64 is
-    Spark-specific; validated in pytest against a pure Python
-    reimplementation and against the expression form."""
+    """SimHash per document via the codegen-aggregate plan, in the
+    63-bit engine-neutral-hash form (operators/dedup.py:simhash63_agg) so
+    the DuckDB oracle can verify it exactly. The xxhash64 64-bit form
+    (simhash64_agg — identical plan, ~24x cheaper token hash) remains the
+    production scale path, pytest-validated against a pure Python
+    reimplementation and the expression form."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash64_agg(d, "doc_id", "text").orderBy("doc_id")
+    return simhash63_agg(d, "doc_id", "text").orderBy("doc_id")
 
 
 # --- Similarity search ----------------------------------------------------------
@@ -354,7 +359,9 @@ QUERIES = [
     Query("neardup_jaccard_pairs", _neardup_jaccard, _JACCARD_ORACLE_SQL, ("llm", "dedup")),
     Query("neardup_minhash_lsh_pairs", _neardup_minhash_lsh, _JACCARD_ORACLE_SQL, ("llm", "dedup", "lsh")),
     Query("neardup_embedding_pairs", _neardup_embeddings, _NEARDUP_EMB_SQL, ("llm", "dedup", "ann")),
-    Query("simhash_docs", _simhash_docs, None, ("llm", "dedup", "no_oracle")),
+    Query("simhash_docs", _simhash_docs,
+          simhash63_oracle_sql("documents", "doc_id", "text"),
+          ("llm", "dedup")),
     Query("ann_cosine_topk", _ann_bruteforce, _ANN_SQL, ("llm", "ann")),
     Query("ann_ivf_topk", _ann_ivf, None, ("llm", "ann", "no_oracle")),
     Query("multimodal_features", _multimodal_features, _MULTIMODAL_SQL, ("llm", "multimodal")),

@@ -41,6 +41,37 @@ def test_winnow_matches_python_reference(spark):
         assert list(r.fps) == _winnow_ref(r.text), f"doc {r.doc_id} fingerprints differ"
 
 
+def _winnow_poly_ref(text: str, k: int = 8, w: int = 4) -> set[int]:
+    """Pure-Python replay of the production rows path (Horner mod-P hash,
+    functions/text.py:winnow_fingerprint_rows) — independent of both Spark
+    and DuckDB."""
+    from bridge_monitoring_pyspark_spark.functions.text import WINNOW_MULT, WINNOW_P
+
+    b = text.encode("utf-8")
+    if len(b) < k + w - 1:
+        return set()
+    hs = []
+    for i in range(len(b) - k + 1):
+        hv = 0
+        for byte in b[i : i + k]:
+            hv = (hv * 256 + byte) % WINNOW_P
+        hs.append((hv * WINNOW_MULT) % WINNOW_P)
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+def test_winnow_rows_match_python_reference(spark):
+    from bridge_monitoring_pyspark_spark.functions.text import winnow_fingerprint_rows
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    got: dict[int, set[int]] = {}
+    for r in winnow_fingerprint_rows(docs, "doc_id", "text").collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert got
+    for doc_id, text in texts.items():
+        assert got.get(doc_id, set()) == _winnow_poly_ref(text), f"doc {doc_id}"
+
+
 def test_lsh_recall_and_rerank_exactness(spark):
     qs = all_queries()
     exact = qs["ann_cosine_topk"].build(spark, SF_SMOKE).collect()

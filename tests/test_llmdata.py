@@ -47,6 +47,28 @@ def test_simhash_matches_python_reference(spark):
         assert ctypes.c_int64(expected).value == r["simhash"], f"doc {r['doc_id']}"
 
 
+def test_simhash63_matches_python_reference(spark):
+    import hashlib
+    import re
+
+    from bridge_monitoring_pyspark_spark.operators.dedup import simhash63_agg
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(20)
+    got = {r.doc_id: r.simhash for r in simhash63_agg(d, "doc_id", "text").collect()}
+    for r in d.select("doc_id", "text").collect():
+        tokens = set(re.split(r"\s+", r.text.strip()))
+        expected = 0
+        for b in range(63):
+            votes = 0
+            for t in tokens:
+                hx = hashlib.md5(t.encode()).hexdigest()
+                h = int(hx[:15], 16) * 8 + int(hx[15], 16) // 2
+                votes += 1 if (h >> b) & 1 else -1
+            if votes > 0:
+                expected |= 1 << b
+        assert got[r.doc_id] == expected, f"doc {r.doc_id}"
+
+
 def test_simhash_near_identical_texts_close(spark):
     df = spark.createDataFrame(
         [
