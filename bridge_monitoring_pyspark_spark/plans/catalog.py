@@ -91,6 +91,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "ann_lsh_topk",
     "kmeans_embeddings",
     "multimodal_features",
+    "sequence_packing_stats",
     # position 51+: operator ids above already covered elsewhere
     "streaming_foreachbatch_dq",
     "semi_join_urgent_customers",
@@ -133,6 +134,7 @@ def all_queries() -> dict[str, Query]:
         extras12,
         extras13,
         extras14,
+        extras15,
     )
 
     out: dict[str, Query] = {}
@@ -149,6 +151,7 @@ def all_queries() -> dict[str, Query]:
         extras12,
         extras13,
         extras14,
+        extras15,
     ):
         for q in mod.QUERIES:
             if q.name in out:
