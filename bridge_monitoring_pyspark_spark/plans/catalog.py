@@ -93,6 +93,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "multimodal_features",
     "sequence_packing_stats",
     # position 51+: operator ids above already covered elsewhere
+    "corpus_shuffle_rank",
+    "hash_split_assign",
     "streaming_foreachbatch_dq",
     "semi_join_urgent_customers",
     "anti_join_no_urgent_customers",

@@ -106,7 +106,93 @@ ORDER BY seq_id
 """
 
 
+SHUFFLE_SEED = "epoch-0"  # changing the seed string re-deals the whole order
+
+
+def _corpus_shuffle_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle: every document gets a pseudorandom
+    training-order rank from the md5 of (seed, doc_id). This is how a
+    multi-epoch pipeline re-deals data without materializing a permutation
+    — rank is a pure function of (seed, id), reproducible on any engine or
+    cluster size, resumable mid-epoch. The sort key is md5 hex (engine-
+    neutral); the returned (doc_id, shuffle_rank) pairs pin the exact
+    permutation, so the oracle verifies the order itself, not just
+    membership. At 100 TB: rank assignment is embarrassingly parallel;
+    the global row_number becomes sortWithinPartitions after a range
+    repartition on the key (same permutation, distributed sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.encode(F.concat(F.lit(SHUFFLE_SEED + ":"), F.col("doc_id").cast("string")), "UTF-8"))
+    w = Window.orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", key.alias("k"))
+        .select("doc_id", F.row_number().over(w).alias("shuffle_rank"))
+        .orderBy("doc_id")
+    )
+
+
+_SHUFFLE_SQL = f"""
+SELECT doc_id,
+       CAST(row_number() OVER (
+         ORDER BY md5('{SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+       ) AS INT) AS shuffle_rank
+FROM documents
+ORDER BY doc_id
+"""
+
+
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # remainder is test
+
+
+def _hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split: bucket = first 8 md5 hex chars
+    of the doc id mod 100 — stable under corpus growth (a document's split
+    never changes when others are added/removed, unlike row_number-based
+    splits), engine-neutral, and skew-free. Reports per-split counts and a
+    membership checksum (sum of doc_ids) so the oracle verifies the exact
+    assignment, not just the sizes."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(encode(CAST(doc_id AS STRING), 'UTF-8')), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+    split = (
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return (
+        d.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("docid_checksum"),
+        )
+        .orderBy("split")
+    )
+
+
+_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+            WHEN bucket < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS docid_checksum
+FROM b
+GROUP BY 1
+ORDER BY split
+"""
+
+
 QUERIES = [
     Query("sequence_packing_stats", _sequence_packing_stats, _PACKING_SQL,
           ("llm", "packing", "training-data")),
+    Query("corpus_shuffle_rank", _corpus_shuffle_rank, _SHUFFLE_SQL,
+          ("llm", "shuffle", "training-data")),
+    Query("hash_split_assign", _hash_split_assign, _SPLIT_SQL,
+          ("llm", "split", "training-data")),
 ]
