@@ -137,6 +137,7 @@ def all_queries() -> dict[str, Query]:
         extras13,
         extras14,
         extras15,
+        extras16,
     )
 
     out: dict[str, Query] = {}
@@ -154,6 +155,7 @@ def all_queries() -> dict[str, Query]:
         extras13,
         extras14,
         extras15,
+        extras16,
     ):
         for q in mod.QUERIES:
             if q.name in out:

@@ -1,0 +1,169 @@
+"""Seventeenth extension wave: corpus composition / curation operators.
+
+Two mixture-level operators a pretraining data pipeline runs after
+per-document filtering, both pure aggregate algebra:
+
+- ``domain_mixture_weights`` — temperature-weighted source mixing: the
+  per-source sampling weights that up-weight small domains, the standard
+  fix for a head-heavy corpus (alpha=0.5, i.e. sqrt scaling).
+- ``token_budget_curation`` — per-language best-first selection under a
+  fixed token budget: rank documents by lexical diversity and keep the
+  prefix whose cumulative token count fits the budget.
+
+Scale notes (100 TB): mixture weights are one map-side-combinable groupBy
+over the source column (20 groups here, thousands at scale) plus a
+window-total over the tiny aggregate result — the OVER () runs on rows ==
+|sources|, never on raw data. Curation shuffles once on the language key;
+the per-language ordered cumsum is exactly the distributed form (each
+language sorts independently inside its partition). Skewed languages (en
+is most of a web corpus) would range-partition on (lang, quality) with the
+same running-sum algebra.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count_estimate, words
+from ..sources.readers import load_table
+from .catalog import Query
+
+MIX_ALPHA_DESC = "sqrt"  # alpha = 0.5 temperature
+LANG_TOKEN_BUDGET = 3_000  # per-language curation budget (tokens)
+
+
+def _domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token counts and temperature-scaled mixture weights.
+
+    ``raw_share`` is the corpus's natural distribution; ``mix_weight`` is
+    the alpha=0.5 sampling distribution (w_i = sqrt(t_i) / sum_j sqrt(t_j))
+    — the knob that keeps rare domains represented. ``upsample_factor`` =
+    mix_weight / raw_share is the per-domain repetition rate a sampler
+    applies. All arithmetic after the one groupBy happens on |sources|
+    rows, so the window totals are free."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = (
+        d.select("source", token_count_estimate(F.col("text")).cast("long").alias("t"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("t").alias("n_tokens"))
+    )
+    all_w = Window.partitionBy()  # 20-row post-agg frame, not raw data
+    raw_share = F.col("n_tokens") / F.sum("n_tokens").over(all_w)
+    mix = F.sqrt(F.col("n_tokens")) / F.sum(F.sqrt(F.col("n_tokens"))).over(all_w)
+    return (
+        per_src.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(raw_share, 6).alias("raw_share"),
+            F.round(mix, 6).alias("mix_weight"),
+            F.round(mix / raw_share, 6).alias("upsample_factor"),
+        )
+        .orderBy("source")
+    )
+
+
+_MIXTURE_SQL = r"""
+WITH per_src AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))) AS BIGINT)
+             AS n_tokens
+  FROM documents
+  GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / sum(n_tokens) OVER (), 6) AS raw_share,
+       round(sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER (), 6) AS mix_weight,
+       round((sqrt(n_tokens) / sum(sqrt(n_tokens)) OVER ())
+             / (n_tokens / sum(n_tokens) OVER ()), 6) AS upsample_factor
+FROM per_src
+ORDER BY source
+"""
+
+
+def _token_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-first curation: within each language, keep the most lexically
+    diverse documents whose cumulative token count fits
+    LANG_TOKEN_BUDGET; report what survived vs the whole language.
+
+    Quality = round(distinct words / words, 4) with doc_id as the
+    deterministic tie-break — the rounding makes the sort key identical
+    across engines. The running sum is a per-language window cumsum (one
+    shuffle on lang); the budget filter is a plain predicate on it."""
+    d = load_table(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        token_count_estimate(F.col("text")).cast("long").alias("n_tok"),
+        F.round(F.size(F.array_distinct(w)) / F.size(w), 4).alias("quality"),
+    )
+    cum = Window.partitionBy("lang").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    ranked = scored.select(
+        "doc_id", "lang", "n_tok", "quality", F.sum("n_tok").over(cum).alias("cum_tok")
+    )
+    kept = F.col("cum_tok") <= F.lit(LANG_TOKEN_BUDGET)
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_docs_kept"),
+            F.count(F.lit(1)).alias("n_docs_total"),
+            F.sum(F.when(kept, F.col("n_tok"))).alias("tokens_kept"),
+            F.sum("n_tok").alias("tokens_total"),
+            F.round(F.min(F.when(kept, F.col("quality"))), 4).alias("min_quality_kept"),
+        )
+        .select(
+            "lang",
+            "n_docs_kept",
+            "n_docs_total",
+            "tokens_kept",
+            "tokens_total",
+            F.round(F.col("tokens_kept") / F.col("tokens_total"), 6).alias("kept_share"),
+            "min_quality_kept",
+        )
+        .orderBy("lang")
+    )
+
+
+_CURATION_SQL = rf"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+             AS n_tok,
+         round(len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
+               / len(string_split_regex(trim(text), '\s+')), 4) AS quality
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, n_tok, quality,
+         sum(n_tok) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+  FROM scored
+)
+SELECT lang,
+       CAST(sum(CASE WHEN cum_tok <= {LANG_TOKEN_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_kept,
+       CAST(count(*) AS BIGINT) AS n_docs_total,
+       CAST(sum(CASE WHEN cum_tok <= {LANG_TOKEN_BUDGET} THEN n_tok END) AS BIGINT)
+           AS tokens_kept,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+       round(sum(CASE WHEN cum_tok <= {LANG_TOKEN_BUDGET} THEN n_tok END)::DOUBLE
+             / sum(n_tok), 6) AS kept_share,
+       round(min(CASE WHEN cum_tok <= {LANG_TOKEN_BUDGET} THEN quality END), 4)
+           AS min_quality_kept
+FROM ranked
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES = [
+    Query("domain_mixture_weights", _domain_mixture_weights, _MIXTURE_SQL,
+          ("llm", "mixture", "training-data")),
+    Query("token_budget_curation", _token_budget_curation, _CURATION_SQL,
+          ("llm", "curation", "training-data")),
+]

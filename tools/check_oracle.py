@@ -5,7 +5,13 @@ compares row count, schema width, and an order-insensitive value comparison
 (columns sorted by name, rows sorted, values stringified). Stricter than a
 hash compare: prints the first differing rows on mismatch.
 
-Usage:  python tools/check_oracle.py [query ...]
+Usage:  python tools/check_oracle.py [--vanilla] [--first N] [query ...]
+
+``--vanilla`` builds a bare SparkSession (no session.py configs — ANSI on,
+no legacy parquet flags, default shuffle partitions), replicating the
+driver's harness exactly; any query that only works under our tuned session
+fails here first. ``--first N`` limits to the first N queries in catalog
+insertion order (the driver's correctness window is the first ~50).
 """
 
 from __future__ import annotations
@@ -53,14 +59,34 @@ def main() -> int:
     from bridge_monitoring_pyspark_spark.plans.catalog import all_queries
     from bridge_monitoring_pyspark_spark.session import get_spark
 
-    only = set(sys.argv[1:])
-    spark = get_spark(master="local[8]", extra_confs={"spark.sql.shuffle.partitions": "8"})
+    argv = sys.argv[1:]
+    vanilla = "--vanilla" in argv
+    argv = [a for a in argv if a != "--vanilla"]
+    first_n = None
+    if "--first" in argv:
+        i = argv.index("--first")
+        first_n = int(argv[i + 1])
+        del argv[i:i + 2]
+    only = set(argv)
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check_oracle_vanilla")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(master="local[8]", extra_confs={"spark.sql.shuffle.partitions": "8"})
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
+    catalog = list(all_queries().items())
+    if first_n is not None:
+        catalog = catalog[:first_n]
     failures = []
-    for name, q in sorted(all_queries().items()):
+    for name, q in sorted(catalog):
         if only and name not in only:
             continue
         t0 = time.time()
