@@ -161,9 +161,75 @@ ORDER BY lang
 """
 
 
+BPE_TOP_K = 20
+
+
+def _bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration: the corpus-wide frequency of every
+    adjacent character pair, weighted by word occurrences — the count a
+    tokenizer trainer maximizes when picking the next merge. Emits the
+    top BPE_TOP_K pairs (deterministic tie-break on the pair itself).
+
+    Plan shape — and the scale trick: pair counting runs on the DISTINCT
+    word vocabulary with per-word occurrence counts, not on raw tokens.
+    The corpus collapses by orders of magnitude in the first groupBy
+    (Zipf: vocabulary grows ~sqrt of corpus size), so the char-pair
+    explode — the expensive fan-out — touches |vocab| short strings, not
+    100 TB of text. Per-position ``substring`` on <=15-char words is
+    cheap; the O(len) rescan trap only bites on document-length strings
+    (see functions/text.py:winnow_fingerprint_rows)."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = vocab.where(F.length("w") >= 2).select(
+        "cnt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.struct(
+                    F.substring(F.col("w"), i, F.lit(1)).alias("left"),
+                    F.substring(F.col("w"), i + 1, F.lit(1)).alias("right"),
+                ),
+            )
+        ).alias("p"),
+    )
+    return (
+        pairs.groupBy(F.col("p.left").alias("left"), F.col("p.right").alias("right"))
+        .agg(F.sum("cnt").alias("n_pairs"))
+        .orderBy(F.col("n_pairs").desc(), "left", "right")
+        .limit(BPE_TOP_K)
+    )
+
+
+_BPE_SQL = rf"""
+WITH vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+  GROUP BY w
+),
+pairs AS (
+  SELECT cnt,
+         substring(w, CAST(i AS INT), 1) AS "left",
+         substring(w, CAST(i AS INT) + 1, 1) AS "right"
+  FROM vocab, unnest(range(1, length(w))) AS t(i)
+  WHERE length(w) >= 2
+)
+SELECT "left", "right", CAST(sum(cnt) AS BIGINT) AS n_pairs
+FROM pairs
+GROUP BY 1, 2
+ORDER BY n_pairs DESC, "left", "right"
+LIMIT {BPE_TOP_K}
+"""
+
+
 QUERIES = [
     Query("domain_mixture_weights", _domain_mixture_weights, _MIXTURE_SQL,
           ("llm", "mixture", "training-data")),
     Query("token_budget_curation", _token_budget_curation, _CURATION_SQL,
           ("llm", "curation", "training-data")),
+    Query("bpe_merge_pairs", _bpe_merge_pairs, _BPE_SQL,
+          ("llm", "tokenizer", "training-data")),
 ]

@@ -30,6 +30,23 @@ def test_mixture_weights_match_python_replay(spark):
         assert abs(r.upsample_factor - r.mix_weight / r.raw_share) < 1e-3
 
 
+def test_bpe_pairs_match_python_replay(spark):
+    from collections import Counter
+
+    rows = all_queries()["bpe_merge_pairs"].build(spark, SF_SMOKE).collect()
+    assert len(rows) > 0
+    texts = [r.text for r in
+             load_table(spark, SF_SMOKE, "documents").select("text").collect()]
+    counts: Counter = Counter()
+    for t in texts:
+        for w in t.split():
+            for a, b in zip(w, w[1:]):
+                counts[(a, b)] += 1
+    expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:len(rows)]
+    got = [((r.left, r.right), r.n_pairs) for r in rows]
+    assert got == expect
+
+
 def test_curation_budget_and_best_first(spark):
     rows = {r.lang: r for r in
             all_queries()["token_budget_curation"].build(spark, SF_SMOKE).collect()}
