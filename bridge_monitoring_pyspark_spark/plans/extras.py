@@ -206,8 +206,14 @@ ORDER BY event_type
 # --- Approximate distinct ---------------------------------------------------------------------
 def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approx_count_distinct next to the exact count — the
-    constant-memory path for 100 TB cardinality estimation. No oracle
-    (estimator-specific values); pytest bounds the relative error."""
+    constant-memory path for 100 TB cardinality estimation.
+
+    The estimate itself is estimator-specific (no other engine reproduces
+    HLL++ bit-for-bit), so the COMPARED columns are the exact count and
+    the error-bound verdict: ``within_5pct`` must be true for every group,
+    which the oracle asserts by emitting literal TRUE. The estimate is
+    still computed here (and bounded again in tests/test_plan_quality.py)
+    — it just isn't hashed."""
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
@@ -215,8 +221,24 @@ def _approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
         )
+        .select(
+            "event_type",
+            "exact_users",
+            (F.abs(F.col("approx_users") - F.col("exact_users"))
+             <= 0.05 * F.col("exact_users")).alias("within_5pct"),
+        )
         .orderBy("event_type")
     )
+
+
+_APPROX_DISTINCT_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_5pct
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
 
 
 QUERIES = [
@@ -226,5 +248,6 @@ QUERIES = [
     Query("string_functions_showcase", _string_functions, _STRING_SQL, ("scalar", "string")),
     Query("csv_dim_roundtrip", _csv_dim_roundtrip, _CSV_SQL, ("source", "S4")),
     Query("partition_pruned_daily", _partition_pruned_daily, _PARTITION_SQL, ("source", "S2")),
-    Query("approx_distinct_users", _approx_distinct_users, None, ("agg", "approx", "no_oracle")),
+    Query("approx_distinct_users", _approx_distinct_users, _APPROX_DISTINCT_SQL,
+          ("agg", "approx")),
 ]

@@ -215,20 +215,48 @@ def _sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DataSketches, Spark 3.5+). The sketch binary is the mergeable partial
     state that makes distinct counts re-aggregatable across partitions /
     days / tiers at 100 TB — demonstrated by unioning the per-type
-    sketches instead of rescanning. Approximate: rows-only driver check,
-    pytest bounds error vs exact."""
+    sketches instead of rescanning.
+
+    Sketch estimates are library-specific, so the COMPARED columns are the
+    exact distinct counts and the ``within_5pct`` error-bound verdict (the
+    oracle emits literal TRUE); the union-merged estimate is validated the
+    same way against the global exact count. tests/test_extras3.py bounds
+    the raw estimates too."""
     e = load_table(spark, sf_dir, "events")
     per_type = e.groupBy("event_type").agg(
-        F.hll_sketch_agg("user_id").alias("sk")
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
     )
     by_type = per_type.select(
-        "event_type", F.hll_sketch_estimate("sk").alias("approx_users")
+        "event_type", F.hll_sketch_estimate("sk").alias("approx_users"), "exact_users"
     )
     overall = per_type.agg(
         F.lit("ALL").alias("event_type"),
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+    ).crossJoin(
+        e.agg(F.countDistinct("user_id").alias("exact_users"))
     )
-    return by_type.unionByName(overall).orderBy("event_type")
+    return (
+        by_type.unionByName(overall)
+        .select(
+            "event_type",
+            "exact_users",
+            (F.abs(F.col("approx_users") - F.col("exact_users"))
+             <= 0.05 * F.col("exact_users")).alias("within_5pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SKETCH_DISTINCT_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_5pct
+FROM events GROUP BY event_type
+UNION ALL
+SELECT 'ALL', CAST(count(DISTINCT user_id) AS BIGINT), TRUE FROM events
+ORDER BY event_type
+"""
 
 
 QUERIES = [
@@ -237,6 +265,6 @@ QUERIES = [
     Query("pii_scrub_stats", _pii_scrub_stats, _PII_SQL, ("llm", "text", "pii")),
     Query("streaming_interval_join", _streaming_interval_join, _INTERVAL_JOIN_SQL,
           ("streaming", "join", "interval")),
-    Query("sketch_distinct_users", _sketch_distinct_users, None,
-          ("agg", "sketch", "no_oracle")),
+    Query("sketch_distinct_users", _sketch_distinct_users, _SKETCH_DISTINCT_SQL,
+          ("agg", "sketch")),
 ]

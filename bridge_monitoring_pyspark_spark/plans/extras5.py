@@ -211,8 +211,13 @@ def _approx_percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quartiles of order value per priority via approx_percentile
     (Greenwald-Khanna, accuracy 10k). The sketch is the mergeable partial —
     at 100 TB this replaces the full sort that exact percentiles need.
-    Approximate: rows-only driver check; pytest bounds the rank error
-    against the exact interpolated percentiles."""
+
+    Oracle-exact at validation scale: GK with accuracy A stores every
+    value while a group holds <= A rows, so the returned quantile IS the
+    exact discrete order statistic and equals DuckDB's quantile_disc
+    (verified empirically per group at sf0.01, ~3k rows/group < 10k).
+    Beyond that size the estimate drifts within 1/A rank error — the
+    regime tests/test_extras5.py bounds instead."""
     o = load_table(spark, sf_dir, "orders")
     q = F.approx_percentile(
         "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)), F.lit(10000)
@@ -229,6 +234,18 @@ def _approx_percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_APPROX_PCT_SQL = """
+SELECT o_orderpriority,
+       quantile_disc(o_totalprice, 0.25) AS p25,
+       quantile_disc(o_totalprice, 0.5) AS p50,
+       quantile_disc(o_totalprice, 0.75) AS p75,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = [
     Query("bitmap_exact_distinct", _bitmap_exact_distinct, _BITMAP_SQL,
           ("agg", "bitmap", "distinct")),
@@ -237,6 +254,6 @@ QUERIES = [
     Query("xml_roundtrip_events", _xml_roundtrip_events, _XML_SQL, ("source", "xml")),
     Query("csv_scalar_roundtrip", _csv_scalar_roundtrip, _CSV_SCALAR_SQL,
           ("function", "csv")),
-    Query("approx_percentile_quantity", _approx_percentile_quantity, None,
-          ("agg", "sketch", "no_oracle")),
+    Query("approx_percentile_quantity", _approx_percentile_quantity,
+          _APPROX_PCT_SQL, ("agg", "sketch")),
 ]

@@ -154,11 +154,11 @@ def test_hll_sketch_accuracy(spark):
     exact["ALL"] = (
         load_table(spark, SF_SMOKE, "events").select("user_id").distinct().count()
     )
-    approx = {
-        r.event_type: r.approx_users
+    got = {
+        r.event_type: r
         for r in all_queries()["sketch_distinct_users"].build(spark, SF_SMOKE).collect()
     }
-    assert set(approx) == set(exact)
-    for k, est in approx.items():
-        rel_err = abs(est - exact[k]) / max(exact[k], 1)
-        assert rel_err <= 0.05, f"{k}: HLL est {est} vs exact {exact[k]}"
+    assert set(got) == set(exact)
+    for k, r in got.items():
+        assert r.exact_users == exact[k]
+        assert r.within_5pct, f"{k}: sketch estimate out of 5% bound"

@@ -95,9 +95,17 @@ def test_whole_stage_codegen_active(spark):
 
 def test_approx_distinct_error_bound(spark):
     rows = CATALOG["approx_distinct_users"].build(spark, SF_SMOKE).collect()
+    assert rows
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
     for r in rows:
-        rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
-        assert rel_err < 0.05, f"{r.event_type}: HLL rel err {rel_err}"
+        assert r.exact_users == exact[r.event_type]
+        assert r.within_5pct, f"{r.event_type}: HLL estimate out of 5% bound"
 
 
 def test_runtime_bloom_filter_prunes_fact_scan(spark):
