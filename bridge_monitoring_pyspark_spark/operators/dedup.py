@@ -224,45 +224,59 @@ def neardup_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     Output: (doc_id, component_id = min doc id of the cluster) for every
     document that appears in at least one pair.
     """
-    # materialize the (possibly expensive) pair plan once — the union below
-    # would otherwise execute it twice, and the loop many times over
-    pairs = pairs.localCheckpoint()
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .distinct()
-        # near-dup edge lists are orders of magnitude smaller than the
-        # corpus: collapse to a few partitions so per-round job overhead
-        # stays flat
-        .coalesce(8)
-        .localCheckpoint()
-    )
-    labels = (
-        edges.select(F.col("src").alias("node")).distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+    from ..session import pinned_shuffle_partitions
+
+    spark = pairs.sparkSession
+    # the whole loop is eager (localCheckpoint per round), so the RDD
+    # materialization path bypasses AQE coalescing — pin the shuffle
+    # partition count to real parallelism for the loop's duration or an
+    # untuned 200-partition session pays 200 tasks per tiny label shuffle
+    with pinned_shuffle_partitions(spark):
+        # materialize the (possibly expensive) pair plan once — the union
+        # below would otherwise execute it twice, and the loop many times
+        pairs = pairs.localCheckpoint()
+        edges = (
+            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+            .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+            .distinct()
+            # near-dup edge lists are orders of magnitude smaller than the
+            # corpus: collapse to a few partitions so per-round job overhead
+            # stays flat
+            .coalesce(8)
+            .localCheckpoint()
         )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("new_label"),
-                "label",
+        labels = (
+            edges.select(F.col("src").alias("node")).distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint()
+        )
+        for _ in range(max_iter):
+            neighbor_min = (
+                edges.join(labels, edges.dst == labels.node)
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
             )
-        )
-        updated = updated.coalesce(8).localCheckpoint()  # per-round lineage O(1)
-        changed = updated.where(F.col("new_label") != F.col("label")).limit(1).count()
-        labels = updated.select("node", F.col("new_label").alias("label"))
-        if changed == 0:
-            break
+            updated = (
+                labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                    ).alias("new_label"),
+                    "label",
+                )
+            )
+            updated = updated.coalesce(8).localCheckpoint()  # per-round lineage O(1)
+            changed = updated.where(F.col("new_label") != F.col("label")).limit(1).count()
+            labels = updated.select("node", F.col("new_label").alias("label"))
+            if changed == 0:
+                break
+        # checkpoint-block lifetime: there is no public API to free a
+        # localCheckpoint eagerly (df.rdd.unpersist() detaches a DIFFERENT,
+        # freshly-converted RDD — verified no-op on storage). Superseded
+        # rounds are reclaimed by Spark's ContextCleaner once these Python
+        # refs drop, so accumulation across a long catalog run is bounded
+        # by driver GC cadence, not by the number of queries.
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("component_id")
     )

@@ -16,6 +16,7 @@ from ..operators.dedup import (
     neardup_components,
     shingle_postings,
 )
+from ..session import pinned_shuffle_partitions
 from ..sources.readers import load_table
 from .catalog import Query
 from .llmdata import JACCARD_THRESHOLD, SHINGLE_N
@@ -196,15 +197,21 @@ def _dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    # materialize both reused stages once: `exact` feeds the postings AND
-    # the final anti-join; `p` is read by candidate generation, verify, and
-    # both size lookups — without checkpoints each reference re-runs the
-    # dedup window + full-corpus shingling
-    exact = exact_dedup_min_by(docs, "text", "doc_id", ["doc_id", "text"]).localCheckpoint()
-    p = shingle_postings(exact, "doc_id", "text", SHINGLE_N).localCheckpoint()
-    cands = minhash_lsh_candidates(p, num_hashes=128, rows_per_band=4)
-    pairs = verify_candidates_jaccard(cands, p, JACCARD_THRESHOLD)
-    comps = neardup_components(pairs)
+    # the pipeline's eager stages (checkpoints + the CC loop) materialize
+    # through the RDD path, bypassing AQE coalescing: pin the shuffle
+    # partition count for their duration (session.pinned_shuffle_partitions)
+    with pinned_shuffle_partitions(spark):
+        # materialize both reused stages once: `exact` feeds the postings
+        # AND the final anti-join; `p` is read by candidate generation,
+        # verify, and both size lookups — without checkpoints each
+        # reference re-runs the dedup window + full-corpus shingling
+        exact = exact_dedup_min_by(
+            docs, "text", "doc_id", ["doc_id", "text"]
+        ).localCheckpoint()
+        p = shingle_postings(exact, "doc_id", "text", SHINGLE_N).localCheckpoint()
+        cands = minhash_lsh_candidates(p, num_hashes=128, rows_per_band=4)
+        pairs = verify_candidates_jaccard(cands, p, JACCARD_THRESHOLD)
+        comps = neardup_components(pairs)
     dropped = comps.where(F.col("doc_id") != F.col("component_id")).select("doc_id")
     return exact.join(dropped, "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
 

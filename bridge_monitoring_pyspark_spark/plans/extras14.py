@@ -17,6 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..session import pinned_shuffle_partitions
 from ..sources.readers import load_table
 from .catalog import Query
 
@@ -226,36 +227,39 @@ def _pagerank_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = steps.groupBy("src", "dst").agg(F.count("*").alias("w"))
     out_tot = counts.groupBy("src").agg(F.sum("w").alias("tot"))
-    edges = (
-        counts.join(out_tot, "src")
-        .select("src", "dst", (F.col("w") / F.col("tot")).alias("p"))
-        .localCheckpoint()
-    )
-    nodes = edges.select(F.col("src").alias("node")).union(
-        edges.select("dst")
-    ).distinct().localCheckpoint()
-    n = nodes.count()
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for it in range(PAGERANK_ITERS):
-        contrib = (
-            edges.join(ranks, edges.src == ranks.node)
-            .groupBy("dst")
-            .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
+    # eager loop: pin shuffle partitions (localCheckpoint bypasses AQE
+    # coalescing — see session.pinned_shuffle_partitions)
+    with pinned_shuffle_partitions(spark):
+        edges = (
+            counts.join(out_tot, "src")
+            .select("src", "dst", (F.col("w") / F.col("tot")).alias("p"))
+            .localCheckpoint()
         )
-        ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
-            "node",
-            (
-                F.lit((1.0 - PAGERANK_DAMPING) / n)
-                + F.lit(PAGERANK_DAMPING) * F.coalesce("inflow", F.lit(0.0))
-            ).alias("rank"),
-        )
-        # truncate lineage every few matvecs, not every one: each checkpoint
-        # is an eager job, and a 5-iteration plan is still O(1)-sized —
-        # 25 jobs -> 5 (measured ~2x wall clock on the toy graph; on a
-        # billion-node graph the same cadence bounds both plan size and
-        # scheduler round-trips)
-        if (it + 1) % 5 == 0 or it == PAGERANK_ITERS - 1:
-            ranks = ranks.localCheckpoint()
+        nodes = edges.select(F.col("src").alias("node")).union(
+            edges.select("dst")
+        ).distinct().localCheckpoint()
+        n = nodes.count()
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+        for it in range(PAGERANK_ITERS):
+            contrib = (
+                edges.join(ranks, edges.src == ranks.node)
+                .groupBy("dst")
+                .agg(F.sum(F.col("p") * F.col("rank")).alias("inflow"))
+            )
+            ranks = nodes.join(contrib, nodes.node == contrib.dst, "left").select(
+                "node",
+                (
+                    F.lit((1.0 - PAGERANK_DAMPING) / n)
+                    + F.lit(PAGERANK_DAMPING) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            # truncate lineage every few matvecs, not every one: each
+            # checkpoint is an eager job, and a 5-iteration plan is still
+            # O(1)-sized — 25 jobs -> 5 (measured ~2x wall clock on the toy
+            # graph; on a billion-node graph the same cadence bounds both
+            # plan size and scheduler round-trips)
+            if (it + 1) % 5 == 0 or it == PAGERANK_ITERS - 1:
+                ranks = ranks.localCheckpoint()
     return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy(
         F.col("rank").desc(), "node"
     )

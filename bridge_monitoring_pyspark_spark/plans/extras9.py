@@ -18,6 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import pinned_shuffle_partitions
 from ..sources.readers import load_table
 from .catalog import Query
 
@@ -124,27 +125,31 @@ def _kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic iterative-ML-on-Spark shape (MLlib does the same loop).
     Rows-only driver check; pytest replays the loop in numpy bit-for-bit
     (same init, same iteration count)."""
-    pts = (
-        load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", "embedding")
-        # reused every iteration: materialize once
-        .localCheckpoint()
-    )
-    init = pts.orderBy("vec_id").limit(KMEANS_K).collect()
-    cents = [(i, list(map(float, r.embedding))) for i, r in enumerate(init)]
-    for _ in range(KMEANS_ITERS):
-        assigned = _assign(pts, cents)
-        new = (
-            assigned.select("cluster", F.posexplode("embedding").alias("dim", "x"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-            .select("cluster", F.col("dm.m").alias("centroid"))
-            .collect()
+    # eager loop (collect per round): pin shuffle partitions so the
+    # per-iteration update aggs don't run at an untuned session's default
+    # task count (see session.pinned_shuffle_partitions)
+    with pinned_shuffle_partitions(spark):
+        pts = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            # reused every iteration: materialize once
+            .localCheckpoint()
         )
-        upd = {r.cluster: list(map(float, r.centroid)) for r in new}
-        cents = [(cid, upd.get(cid, vec)) for cid, vec in cents]
+        init = pts.orderBy("vec_id").limit(KMEANS_K).collect()
+        cents = [(i, list(map(float, r.embedding))) for i, r in enumerate(init)]
+        for _ in range(KMEANS_ITERS):
+            assigned = _assign(pts, cents)
+            new = (
+                assigned.select("cluster", F.posexplode("embedding").alias("dim", "x"))
+                .groupBy("cluster", "dim")
+                .agg(F.avg("x").alias("m"))
+                .groupBy("cluster")
+                .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+                .select("cluster", F.col("dm.m").alias("centroid"))
+                .collect()
+            )
+            upd = {r.cluster: list(map(float, r.centroid)) for r in new}
+            cents = [(cid, upd.get(cid, vec)) for cid, vec in cents]
     final = _assign(pts, cents)
     return (
         final.groupBy("cluster")
