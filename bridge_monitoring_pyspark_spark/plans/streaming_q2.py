@@ -196,3 +196,77 @@ QUERIES.append(
     Query("streaming_left_outer_join", _streaming_left_outer, _LEFT_OUTER_SQL,
           ("streaming", "join", "outer", "T7"))
 )
+
+
+def _streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows (merging stateful operator): per-user
+    30-minute-gap sessions over the watermarked event stream — the state
+    backend must MERGE adjacent session state when a late-ish event
+    bridges two open sessions, which tumbling/sliding windows never do.
+    Append mode emits a session once the watermark passes its end
+    (last event + gap), giving the availableNow drain a closed form:
+    sessions with session_end <= max(ts) - watermark delay emit; the
+    trailing open sessions stay in state and are withheld — exactly what
+    the oracle's gaps-and-islands rewrite + emission filter reproduces.
+    Scale: state is one (user, open-session) row per key, bounded by the
+    watermark horizon; shuffle partitions pinned to key cardinality
+    (_stream_shuffle_partitions)."""
+    out = tempfile.mkdtemp(prefix="eng_ssw_")
+    s = read_events_stream(spark, sf_dir).withWatermark("ts", "2 minutes")
+    agg = (
+        s.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    with _stream_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out + "/sessions")
+            .option("checkpointLocation", out + "/_chk")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
+    return spark.read.parquet(out + "/sessions").orderBy("user_id", "session_start")
+
+
+_SESSION_STREAM_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+), sessions AS (
+  SELECT user_id, min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 4) AS sum_value
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT user_id, session_start, session_end, n_events, sum_value
+FROM sessions
+WHERE session_end <= (SELECT max(ts) FROM events) - INTERVAL 2 MINUTE
+ORDER BY user_id, session_start
+"""
+
+QUERIES.append(
+    Query("streaming_session_window", _streaming_session_window,
+          _SESSION_STREAM_SQL, ("streaming", "session_window", "T2"))
+)

@@ -106,3 +106,44 @@ def test_transform_with_state_running_counts(spark):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_session_window_matches_batch_closed_sessions(spark):
+    """Streaming session windows must equal the batch session_window
+    result restricted to sessions the final watermark has closed."""
+    from bridge_monitoring_pyspark_spark.plans.catalog import all_queries
+
+    got = all_queries()["streaming_session_window"].build(spark, SF_SMOKE).collect()
+    assert got
+    e = load_table(spark, SF_SMOKE, "events")
+    max_ts = e.agg(F.max("ts").alias("m")).collect()[0].m
+    batch = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .collect()
+    )
+    import datetime
+
+    wm = max_ts - datetime.timedelta(minutes=2)
+    closed = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in batch
+        if r.session_end <= wm
+    }
+    emitted = {
+        (r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+        for r in got
+    }
+    assert emitted == closed
+    # something must be withheld too, or the watermark test is vacuous
+    assert len(batch) > len(closed)
