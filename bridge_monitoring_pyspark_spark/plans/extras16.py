@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from ..functions.text import token_count_estimate, words
 from ..sources.readers import load_table
 from .catalog import Query
+from .extras15 import PACK_BUDGET
 
 MIX_ALPHA_DESC = "sqrt"  # alpha = 0.5 temperature
 LANG_TOKEN_BUDGET = 3_000  # per-language curation budget (tokens)
@@ -225,6 +226,115 @@ LIMIT {BPE_TOP_K}
 """
 
 
+QUALITY_MIN = 0.35  # lexical-diversity floor for the composite pipeline
+
+
+def _pretraining_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole pretraining-data funnel as ONE single-pass plan:
+    raw -> quality filter -> exact dedup -> per-language token-budget
+    curation -> sequence packing, reported as per-stage (docs, tokens)
+    rows — the run manifest a data team publishes with every corpus
+    release.
+
+    Instead of materializing each stage, every document gets stage FLAGS
+    computed by layered window functions: ``q_pass`` (quality floor),
+    ``dedup_keep`` (row_number 1 within the content fingerprint, among
+    quality survivors), ``curated`` (per-language best-first running token
+    sum under the budget, among dedup survivors). One final aggregate
+    folds the flags into the funnel; `stack` reshapes it to stage rows.
+    Plan cost: two window shuffles (fingerprint, language) + one global
+    agg — no joins, no repeated scans. At 100 TB each window partitions
+    by a high-cardinality key (fingerprint / language), so both
+    parallelize; the packed-sequence count is pure arithmetic on the
+    curated token total (concat-and-chunk: ceil(tokens/budget))."""
+    d = load_table(spark, sf_dir, "documents")
+    w = words(F.col("text"))
+    scored = d.select(
+        "doc_id",
+        "lang",
+        token_count_estimate(F.col("text")).cast("long").alias("n_tok"),
+        F.round(F.size(F.array_distinct(w)) / F.size(w), 4).alias("quality"),
+        F.md5(F.encode(F.lower(F.trim(F.col("text"))), "UTF-8")).alias("fp"),
+    ).withColumn("q_pass", F.col("quality") >= QUALITY_MIN)
+    rn = F.row_number().over(
+        Window.partitionBy("fp", "q_pass").orderBy("doc_id")
+    )
+    flagged = scored.withColumn("dedup_keep", F.col("q_pass") & (rn == 1))
+    cum = F.sum("n_tok").over(
+        Window.partitionBy("lang", "dedup_keep")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    staged = flagged.withColumn(
+        "curated", F.col("dedup_keep") & (cum <= F.lit(LANG_TOKEN_BUDGET))
+    )
+    one = staged.agg(
+        F.count(F.lit(1)).alias("raw_d"),
+        F.sum("n_tok").alias("raw_t"),
+        F.sum(F.when(F.col("q_pass"), 1).otherwise(0)).alias("q_d"),
+        F.coalesce(F.sum(F.when(F.col("q_pass"), F.col("n_tok"))), F.lit(0)).alias("q_t"),
+        F.sum(F.when(F.col("dedup_keep"), 1).otherwise(0)).alias("dd_d"),
+        F.coalesce(F.sum(F.when(F.col("dedup_keep"), F.col("n_tok"))), F.lit(0)).alias("dd_t"),
+        F.sum(F.when(F.col("curated"), 1).otherwise(0)).alias("c_d"),
+        F.coalesce(F.sum(F.when(F.col("curated"), F.col("n_tok"))), F.lit(0)).alias("c_t"),
+    )
+    return one.selectExpr(
+        f"""stack(5,
+          1, 'raw',     raw_d, raw_t,
+          2, 'quality', q_d,   q_t,
+          3, 'dedup',   dd_d,  dd_t,
+          4, 'curated', c_d,   c_t,
+          5, 'packed',  (c_t + {PACK_BUDGET} - 1) div {PACK_BUDGET}, c_t
+        ) AS (stage_id, stage, n_docs, n_tokens)"""
+    ).orderBy("stage_id")
+
+
+_MANIFEST_SQL = rf"""
+WITH scored AS MATERIALIZED (
+  SELECT doc_id, lang,
+         CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+             AS n_tok,
+         round(len(list_distinct(string_split_regex(trim(text), '\s+')))::DOUBLE
+               / len(string_split_regex(trim(text), '\s+')), 4) AS quality,
+         md5(lower(trim(text))) AS fp
+  FROM documents
+),
+flagged AS MATERIALIZED (
+  SELECT *,
+         quality >= {QUALITY_MIN} AS q_pass,
+         (quality >= {QUALITY_MIN}) AND
+         row_number() OVER (PARTITION BY fp, quality >= {QUALITY_MIN}
+                            ORDER BY doc_id) = 1 AS dedup_keep
+  FROM scored
+),
+staged AS MATERIALIZED (
+  SELECT *,
+         dedup_keep AND
+         sum(n_tok) OVER (PARTITION BY lang, dedup_keep
+                          ORDER BY quality DESC, doc_id ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           <= {LANG_TOKEN_BUDGET} AS curated
+  FROM flagged
+),
+one AS MATERIALIZED (
+  SELECT CAST(count(*) AS BIGINT) AS raw_d, CAST(sum(n_tok) AS BIGINT) AS raw_t,
+         CAST(sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS BIGINT) AS q_d,
+         CAST(coalesce(sum(CASE WHEN q_pass THEN n_tok END), 0) AS BIGINT) AS q_t,
+         CAST(sum(CASE WHEN dedup_keep THEN 1 ELSE 0 END) AS BIGINT) AS dd_d,
+         CAST(coalesce(sum(CASE WHEN dedup_keep THEN n_tok END), 0) AS BIGINT) AS dd_t,
+         CAST(sum(CASE WHEN curated THEN 1 ELSE 0 END) AS BIGINT) AS c_d,
+         CAST(coalesce(sum(CASE WHEN curated THEN n_tok END), 0) AS BIGINT) AS c_t
+  FROM staged
+)
+SELECT 1 AS stage_id, 'raw' AS stage, raw_d AS n_docs, raw_t AS n_tokens FROM one
+UNION ALL SELECT 2, 'quality', q_d, q_t FROM one
+UNION ALL SELECT 3, 'dedup', dd_d, dd_t FROM one
+UNION ALL SELECT 4, 'curated', c_d, c_t FROM one
+UNION ALL SELECT 5, 'packed', (c_t + {PACK_BUDGET} - 1) // {PACK_BUDGET}, c_t FROM one
+ORDER BY stage_id
+"""
+
+
 QUERIES = [
     Query("domain_mixture_weights", _domain_mixture_weights, _MIXTURE_SQL,
           ("llm", "mixture", "training-data")),
@@ -232,4 +342,6 @@ QUERIES = [
           ("llm", "curation", "training-data")),
     Query("bpe_merge_pairs", _bpe_merge_pairs, _BPE_SQL,
           ("llm", "tokenizer", "training-data")),
+    Query("pretraining_manifest", _pretraining_manifest, _MANIFEST_SQL,
+          ("llm", "pipeline", "training-data")),
 ]

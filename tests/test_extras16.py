@@ -77,3 +77,23 @@ def test_curation_budget_and_best_first(spark):
             assert got.tokens_kept == sum(r.n_tok for r in kept)
             assert got.tokens_kept <= LANG_TOKEN_BUDGET
             assert abs(got.min_quality_kept - min(r.quality for r in kept)) < 1e-6
+
+
+def test_pretraining_manifest_funnel_invariants(spark):
+    from bridge_monitoring_pyspark_spark.plans.extras15 import PACK_BUDGET
+
+    rows = {r.stage: r for r in
+            all_queries()["pretraining_manifest"].build(spark, SF_SMOKE).collect()}
+    assert list(rows) == ["raw", "quality", "dedup", "curated", "packed"]
+    # funnel: each filtering stage keeps a non-empty, non-increasing subset
+    chain = [rows["raw"], rows["quality"], rows["dedup"], rows["curated"]]
+    for a, b in zip(chain, chain[1:]):
+        assert 0 < b.n_docs <= a.n_docs
+        assert 0 < b.n_tokens <= a.n_tokens
+    # the quality floor must actually drop something at this SF
+    assert rows["quality"].n_docs < rows["raw"].n_docs
+    # packing: concat-and-chunk over the curated tokens
+    c = rows["curated"]
+    p = rows["packed"]
+    assert p.n_tokens == c.n_tokens
+    assert p.n_docs == (c.n_tokens + PACK_BUDGET - 1) // PACK_BUDGET
