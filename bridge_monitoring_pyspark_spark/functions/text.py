@@ -144,6 +144,8 @@ def winnow_fingerprint_rows(df, id_col: str, text_col: str,
             ids: list[int] = []
             fps: list[np.ndarray] = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    continue  # NULL text has no content — not the string "None"
                 b = np.frombuffer(str(text).encode("utf-8"), dtype=np.uint8)
                 if len(b) < k + w - 1:
                     continue

@@ -144,6 +144,17 @@ SPLIT_TRAIN_PCT = 80
 SPLIT_VAL_PCT = 10  # remainder is test
 
 
+def split_bucket(id_col: str):
+    """The split-assignment hash bucket: first 8 md5 hex chars of the
+    stringified id, mod 100. A pure function of the id — this single
+    expression is the whole growth-stability guarantee, so the query AND
+    any caller share it from here (tests replay it independently with
+    hashlib to pin the formula itself)."""
+    return F.expr(
+        f"CAST(conv(substring(md5(encode(CAST({id_col} AS STRING), 'UTF-8')), 1, 8), 16, 10) AS BIGINT) % 100"
+    )
+
+
 def _hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test split: bucket = first 8 md5 hex chars
     of the doc id mod 100 — stable under corpus growth (a document's split
@@ -152,9 +163,7 @@ def _hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     membership checksum (sum of doc_ids) so the oracle verifies the exact
     assignment, not just the sizes."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.expr(
-        "CAST(conv(substring(md5(encode(CAST(doc_id AS STRING), 'UTF-8')), 1, 8), 16, 10) AS BIGINT) % 100"
-    )
+    bucket = split_bucket("doc_id")
     split = (
         F.when(bucket < SPLIT_TRAIN_PCT, "train")
         .when(bucket < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, "val")

@@ -27,11 +27,13 @@ WINNOW_W = 4
 # --- Winnowing rolling-hash fingerprints --------------------------------------
 def _winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document winnowing fingerprint summary (count + extremes of the
-    fingerprint set), on the codegen rows path (winnow_fingerprint_rows):
-    explode window positions, least()-of-element_at window minima, then a
-    count-distinct/min/max roll-up — no interpreted higher-order loops.
-    Docs too short to fingerprint re-enter via a left join to the doc-id
-    spine (n_fps=0, NULL extremes), matching the array form exactly."""
+    fingerprint set), on the vectorized Arrow rows path
+    (winnow_fingerprint_rows: one mapInPandas pass, numpy Horner hashing +
+    sliding-window minima — the measured-justified UDF exception; see its
+    docstring for why the pure-JVM forms lose here), then a plain codegen
+    count/min/max roll-up. Docs too short to fingerprint re-enter via a
+    left join to the doc-id spine (n_fps=0, NULL extremes), matching the
+    array form exactly."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     fpr = winnow_fingerprint_rows(d, "doc_id", "text", k=WINNOW_K, w=WINNOW_W)
     stats = fpr.groupBy("doc_id").agg(

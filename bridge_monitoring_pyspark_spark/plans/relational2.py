@@ -545,20 +545,8 @@ def _cached_reuse_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache-or-recompute trade at 100 TB: cache when
     (consumers - 1) x recompute cost > memory+serialization cost — here 2
     consumers over a joined slice, the canonical win."""
-    cutoff = F.lit("1996-01-01").cast("timestamp")
-    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") >= cutoff)
-    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    base = l.join(o, l.l_orderkey == o.o_orderkey).select(
-        "o_orderpriority", "l_returnflag", "l_extendedprice"
-    )
-    base.persist()
+    base, by_prio, by_flag = _cached_reuse_parts(spark, sf_dir)
     try:
-        by_prio = base.groupBy(F.col("o_orderpriority").alias("dim")).agg(
-            F.round(F.sum("l_extendedprice"), 4).alias("total_price")
-        ).withColumn("dim_kind", F.lit("priority"))
-        by_flag = base.groupBy(F.col("l_returnflag").alias("dim")).agg(
-            F.round(F.sum("l_extendedprice"), 4).alias("total_price")
-        ).withColumn("dim_kind", F.lit("returnflag"))
         # Materialize the few-row union NOW (both consumers hit the cache),
         # then release the cached join so it doesn't squat executor storage
         # for the rest of a 150-query suite session.
@@ -566,6 +554,27 @@ def _cached_reuse_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         base.unpersist()
     return out
+
+
+def _cached_reuse_parts(spark: SparkSession, sf_dir: str):
+    """The cached intermediate and its two consumers, pre-materialization —
+    split out so the plan test can assert the consumers actually read the
+    InMemoryRelation (cache REUSE), separately from the leak test that
+    asserts the cache is released. Caller owns base.unpersist()."""
+    cutoff = F.lit("1996-01-01").cast("timestamp")
+    l = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") >= cutoff)
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    base = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority", "l_returnflag", "l_extendedprice"
+    )
+    base.persist()
+    by_prio = base.groupBy(F.col("o_orderpriority").alias("dim")).agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("total_price")
+    ).withColumn("dim_kind", F.lit("priority"))
+    by_flag = base.groupBy(F.col("l_returnflag").alias("dim")).agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("total_price")
+    ).withColumn("dim_kind", F.lit("returnflag"))
+    return base, by_prio, by_flag
 
 
 _CACHED_SQL = """

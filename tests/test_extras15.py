@@ -25,34 +25,45 @@ def test_shuffle_rank_is_permutation(spark):
     )
 
 
-def test_hash_split_stable_under_corpus_growth(spark):
-    # a document's split is a pure function of its id: assigning over a
-    # half-corpus and the full corpus must agree on the shared documents
-    import pyspark.sql.functions as SF
+def test_hash_split_matches_independent_replay(spark):
+    # growth stability = the bucket is a pure function of the id alone.
+    # Pin the FORMULA itself with an independent hashlib replay, then
+    # check the query's per-split aggregates against that replay.
+    import hashlib
 
-    from bridge_monitoring_pyspark_spark.plans.extras15 import _hash_split_assign
-
-    full = {
-        r.split: (r.n_docs, r.docid_checksum)
-        for r in _hash_split_assign(spark, SF_SMOKE).collect()
-    }
-    assert set(full) == {"train", "val", "test"}
-    d = load_table(spark, SF_SMOKE, "documents")
-    half_ids = {r.doc_id for r in d.where(SF.col("doc_id") % 2 == 0).collect()}
-    bucket = SF.expr(
-        "CAST(conv(substring(md5(encode(CAST(doc_id AS STRING), 'UTF-8')), 1, 8), 16, 10) AS BIGINT) % 100"
+    from bridge_monitoring_pyspark_spark.plans.extras15 import (
+        SPLIT_TRAIN_PCT,
+        SPLIT_VAL_PCT,
+        _hash_split_assign,
+        split_bucket,
     )
-    assign = {
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    got = {
         r.doc_id: r.b
-        for r in d.select("doc_id", bucket.alias("b")).collect()
+        for r in d.select("doc_id", split_bucket("doc_id").alias("b")).collect()
     }
-    half_assign = {
-        r.doc_id: r.b
-        for r in d.where(SF.col("doc_id") % 2 == 0)
-        .select("doc_id", bucket.alias("b"))
-        .collect()
-    }
-    assert all(assign[i] == half_assign[i] for i in half_ids)
+
+    def replay(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+    assert got and all(b == replay(i) for i, b in got.items())
+
+    def split_of(b: int) -> str:
+        if b < SPLIT_TRAIN_PCT:
+            return "train"
+        if b < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT:
+            return "val"
+        return "test"
+
+    expect: dict[str, list[int]] = {"train": [], "val": [], "test": []}
+    for i in got:
+        expect[split_of(replay(i))].append(i)
+    rows = {r.split: r for r in _hash_split_assign(spark, SF_SMOKE).collect()}
+    assert set(rows) == {k for k, v in expect.items() if v}
+    for k, r in rows.items():
+        assert r.n_docs == len(expect[k])
+        assert r.docid_checksum == sum(expect[k])
 
 
 def test_packing_conserves_tokens_and_fills_budget(spark):

@@ -62,11 +62,22 @@ def test_shuffle_hash_hint_applies(spark):
     assert "ShuffledHashJoin" in plan
 
 
-def test_cached_reuse_releases_cache(spark):
-    # build() caches the join intermediate for its two consumers, then
-    # materializes the few-row union and unpersists the cache before
-    # returning — so at most ONE new persistent RDD (the checkpointed
-    # result) survives, not the joined slice.
+def test_cached_reuse_hits_memory_scan_then_releases(spark):
+    from bridge_monitoring_pyspark_spark.plans.relational2 import (
+        _cached_reuse_parts,
+    )
+
+    # 1) cache USE: both consumers must plan an in-memory scan of the
+    # persisted join, not recompute it
+    base, by_prio, by_flag = _cached_reuse_parts(spark, SF_SMOKE)
+    try:
+        for consumer in (by_prio, by_flag):
+            plan = consumer._jdf.queryExecution().executedPlan().toString()
+            assert "InMemoryTableScan" in plan, plan
+    finally:
+        base.unpersist()
+    # 2) cache RELEASE: build() materializes the union and unpersists, so
+    # at most ONE new persistent RDD (the checkpointed result) survives
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     before = set(jmap.keySet().toArray())
     df = CATALOG["cached_reuse_metrics"].build(spark, SF_SMOKE)
