@@ -110,3 +110,53 @@ def sample_frames(df: DataFrame, stride: int = 256) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, in_bytes long, out_bytes int, stride int, "
+    "checksum long, first_byte int, last_byte int"
+)
+
+
+def resize_media(df: DataFrame, target: int = 64) -> DataFrame:
+    """Deterministic media *resize* over binary payloads: nearest-neighbor
+    downsampling to at most ``target`` samples (stride = ceil(len/target),
+    keep bytes at 0, stride, 2*stride, ...). This is the 1-D stand-in for
+    an image thumbnail pass — the real decoder+PIL resample slots into
+    :func:`decode_media`; the Spark-side shape (Arrow batches in, fixed
+    compact feature row out, payload projected away) is exactly the
+    production plumbing.
+
+    Scale notes: resize is the classic payload-width REDUCER — run it as
+    early as possible so downstream shuffles move thumbnails, not
+    originals; the output row is O(target) regardless of input size, so
+    the post-resize table is safely shuffleable."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, ins, outs, strides, sums, firsts, lasts = [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                stride = max(1, -(-n // target))
+                b = np.frombuffer(payload, dtype=np.uint8)[::stride]
+                ids.append(doc_id)
+                ins.append(n)
+                outs.append(len(b))
+                strides.append(stride)
+                sums.append(int(b.astype(np.int64).sum()))
+                firsts.append(int(b[0]) if len(b) else -1)
+                lasts.append(int(b[-1]) if len(b) else -1)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "in_bytes": ins,
+                    "out_bytes": outs,
+                    "stride": strides,
+                    "checksum": sums,
+                    "first_byte": firsts,
+                    "last_byte": lasts,
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(batches, RESIZE_SCHEMA)

@@ -335,6 +335,48 @@ ORDER BY stage_id
 """
 
 
+RESIZE_TARGET = 64
+
+
+def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail-style resize over binary payloads
+    (operators/multimodal.resize_media): nearest-neighbor byte
+    downsampling to <= RESIZE_TARGET samples per document, emitting the
+    compact post-resize feature row. The corpus's ASCII contract makes
+    byte == character, so the DuckDB oracle replays the exact sampling
+    with ord(substring) over a stepped range."""
+    from ..operators.multimodal import resize_media, with_binary_payload
+
+    d = load_table(spark, sf_dir, "documents")
+    return resize_media(
+        with_binary_payload(d, "text"), target=RESIZE_TARGET
+    ).orderBy("doc_id")
+
+
+_RESIZE_SQL = rf"""
+WITH sized AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n,
+         greatest(1, CAST(ceil(octet_length(encode(text)) / {RESIZE_TARGET}.0) AS INT)) AS stride
+  FROM documents
+),
+sampled AS (
+  SELECT doc_id, n, stride,
+         [ord(substring(text, CAST(i AS INT) + 1, 1))
+          for i in range(0, n, stride)] AS bytes
+  FROM sized
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS in_bytes,
+       CAST(len(bytes) AS INT) AS out_bytes,
+       stride,
+       CAST(list_sum(bytes) AS BIGINT) AS checksum,
+       CAST(coalesce(bytes[1], -1) AS INT) AS first_byte,
+       CAST(coalesce(bytes[-1], -1) AS INT) AS last_byte
+FROM sampled
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("domain_mixture_weights", _domain_mixture_weights, _MIXTURE_SQL,
           ("llm", "mixture", "training-data")),
@@ -344,4 +386,6 @@ QUERIES = [
           ("llm", "tokenizer", "training-data")),
     Query("pretraining_manifest", _pretraining_manifest, _MANIFEST_SQL,
           ("llm", "pipeline", "training-data")),
+    Query("multimodal_resize", _multimodal_resize, _RESIZE_SQL,
+          ("llm", "multimodal", "resize")),
 ]

@@ -97,3 +97,23 @@ def test_pretraining_manifest_funnel_invariants(spark):
     p = rows["packed"]
     assert p.n_tokens == c.n_tokens
     assert p.n_docs == (c.n_tokens + PACK_BUDGET - 1) // PACK_BUDGET
+
+
+def test_multimodal_resize_matches_python_replay(spark):
+    from bridge_monitoring_pyspark_spark.plans.extras16 import RESIZE_TARGET
+
+    rows = {r.doc_id: r for r in
+            all_queries()["multimodal_resize"].build(spark, SF_SMOKE).collect()}
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    assert len(rows) == len(docs)
+    for d in docs:
+        b = d.text.encode("utf-8")
+        stride = max(1, -(-len(b) // RESIZE_TARGET))
+        s = b[::stride]
+        r = rows[d.doc_id]
+        assert r.in_bytes == len(b)
+        assert r.out_bytes == len(s) <= RESIZE_TARGET
+        assert r.stride == stride
+        assert r.checksum == sum(s)
+        assert r.first_byte == (s[0] if s else -1)
+        assert r.last_byte == (s[-1] if s else -1)
