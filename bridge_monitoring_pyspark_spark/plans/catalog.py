@@ -138,6 +138,7 @@ def all_queries() -> dict[str, Query]:
         extras14,
         extras15,
         extras16,
+        extras17,
     )
 
     out: dict[str, Query] = {}
@@ -156,6 +157,7 @@ def all_queries() -> dict[str, Query]:
         extras14,
         extras15,
         extras16,
+        extras17,
     ):
         for q in mod.QUERIES:
             if q.name in out:
