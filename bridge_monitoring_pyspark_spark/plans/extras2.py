@@ -84,13 +84,16 @@ CHUNK_CHARS = 120
 
 def _udtf_char_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (table function, Spark 3.5+) splitting each document
-    into fixed-width char chunks, applied per-row via SQL LATERAL. UDTFs
-    are the row-at-a-time extension point — acceptable here because the
-    fan-out is the product, not a hot inner loop; bulk chunking uses the
-    codegen form (doc_chunks_sliding)."""
+    into fixed-width char chunks, applied per-row via SQL LATERAL.
+    ``useArrow=True`` (Spark 4) moves rows in Arrow batches — without it
+    the plan shows row-pickling ``BatchEvalPython`` (caught by
+    tools/plan_audit.py); with it, ``ArrowEvalPython``-family execution.
+    Bulk chunking still prefers the pure-codegen form
+    (doc_chunks_sliding); the UDTF is the extensibility surface."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_idx int, chunk_chars int, chunk_md5 string")
+    @udtf(returnType="chunk_idx int, chunk_chars int, chunk_md5 string",
+          useArrow=True)
     class CharChunker:
         def eval(self, text: str):
             for k, start in enumerate(range(0, len(text), CHUNK_CHARS)):
