@@ -144,3 +144,23 @@ def test_aqe_enabled(spark):
             "RocksDBStateStoreProvider"
         )
     )
+
+
+def test_no_row_at_a_time_python_udfs(spark):
+    """Every Python-extension query must plan Arrow-family execution
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas...), never the
+    row-pickling BatchEvalPython (tools/plan_audit.py sweeps the whole
+    catalog; this pins the contract on the Python-UDF headliners)."""
+    for name in (
+        "udtf_char_chunks",
+        "multimodal_features",
+        "multimodal_resize",
+        "ann_cosine_topk",
+        "grouped_ols_fit",
+        "grouped_agg_geomean",
+        "emb_norms_arrow",
+        "winnow_fingerprint_stats",
+    ):
+        df = CATALOG[name].build(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, f"{name} plans a row-at-a-time UDF"
