@@ -109,32 +109,49 @@ _EWMA_ALPHA = 0.1
 def _ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially-weighted moving average — the canonical recursion
     (y_t = (1-a)y_{t-1} + a*x_t) that plain SQL windows cannot express —
-    as an Arrow grouped-map over per-user series; emits each user's final
-    smoothed level. One shuffle on user_id, pandas' C-loop inside each
-    group, output one row per key. The oracle proves the recursion equals
-    its closed-form power sum, which is also the fallback implementation
-    wherever a grouped-map is unavailable. At 100 TB keys are the
-    parallelism unit: per-user series fit executors comfortably; for
+    emitting each user's final smoothed level.
+
+    Implementation is ONE Python call per partition, not per key:
+    repartition on user_id, concatenate the partition's Arrow batches,
+    and run pandas' C-implemented ``GroupBy.ewm`` across all of the
+    partition's users at once. The obvious grouped-map
+    (``groupBy.applyInPandas`` with per-group ``Series.ewm``) is the
+    per-tiny-group overhead trap: ~1.5k groups of ~70 rows cost ~6.7s at
+    sf0.1 vs ~2s for this form — same shuffle, 32 Python invocations
+    instead of 1500 (grouped-map stays covered by grouped_ols_fit, where
+    per-group work is real). The oracle proves the recursion equals its
+    closed-form power sum. At 100 TB keys are the parallelism unit and
+    partition-width concat is bounded by the shuffle partition size; for
     billion-row single keys, switch to the power-sum form which is pure
     window algebra."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
     )
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        y = pdf["value"].ewm(alpha=_EWMA_ALPHA, adjust=False).mean().iloc[-1]
-        return pd.DataFrame(
+    def fit(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        sm = (
+            pdf.groupby("user_id")["value"]
+            .ewm(alpha=_EWMA_ALPHA, adjust=False)
+            .mean()
+            .reset_index()
+        )
+        last = sm.groupby("user_id")["value"].last()
+        n = pdf.groupby("user_id").size()
+        yield pd.DataFrame(
             {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n_events": [len(pdf)],
-                "ewma_last": [round(y, 4)],
+                "user_id": last.index.to_numpy(),
+                "n_events": n.loc[last.index].to_numpy(),
+                "ewma_last": last.to_numpy().round(4),
             }
         )
 
     return (
-        ev.groupBy("user_id")
-        .applyInPandas(fit, "user_id long, n_events long, ewma_last double")
+        ev.repartition("user_id")
+        .mapInPandas(fit, "user_id long, n_events long, ewma_last double")
         .orderBy("user_id")
     )
 
