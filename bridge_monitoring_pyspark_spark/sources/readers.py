@@ -22,11 +22,13 @@ from pyspark.sql import functions as F
 
 from ..schemas import TESTDATA_TABLES
 
-# Driver testdata stores TIMESTAMP(NANOS) columns, which Spark reads only as
-# long (spark.sql.legacy.parquet.nanosAsLong). These are converted back to
-# TimestampType here, with integer DIV so no precision is lost at 2^63-scale
-# nanosecond values. Testdata-only accommodation — production tables use
-# micros (Spark's native parquet timestamp).
+# Timestamp columns in the driver testdata. Current layout: parquet
+# timestamp[us] with isAdjustedToUTC=false, which Spark reads natively as
+# TIMESTAMP_NTZ — kept NTZ downstream because it matches the oracle engine's
+# naive TIMESTAMP semantics exactly, independent of session timezone.
+# Older layouts stored TIMESTAMP(NANOS), readable only as long under
+# spark.sql.legacy.parquet.nanosAsLong; the bigint branch below converts
+# that shape for compatibility.
 TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {
     "events": ("ts",),
     "orders": ("o_orderdate",),
@@ -36,9 +38,10 @@ TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch-read one driver testdata table (TESTDATA.md)."""
-    # Runtime-settable; external harnesses build vanilla sessions that lack
-    # it, and without it any table with TIMESTAMP(NANOS) columns fails with
-    # PARQUET_TYPE_ILLEGAL before the conversion below can run.
+    # Runtime-settable; harmless for micros data, required for the legacy
+    # TIMESTAMP(NANOS) layout (which fails with PARQUET_TYPE_ILLEGAL
+    # otherwise). External harnesses build vanilla sessions, so this cannot
+    # live only in session.py.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in TIMESTAMP_COLS.get(name, ()):

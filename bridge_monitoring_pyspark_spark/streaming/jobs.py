@@ -39,12 +39,12 @@ from pyspark.sql import types as T
 
 from ..operators.dq import SensorRules, split_valid_invalid
 
-# Streaming-side schema for the driver's events table: ts arrives as
-# TIMESTAMP(NANOS) parquet → long under nanosAsLong (see sources/readers.py).
+# Streaming-side schema for the driver's events table: parquet timestamp[us]
+# with isAdjustedToUTC=false → TIMESTAMP_NTZ (see sources/readers.py).
 EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -54,8 +54,11 @@ EVENTS_RAW = T.StructType(
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming parquet source over the events table (S3 in SURVEY.md §2.1),
-    with the nanos→timestamp conversion applied as a narrow projection."""
+    """Streaming parquet source over the events table (S3 in SURVEY.md §2.1).
+
+    Event-time is re-typed NTZ → TIMESTAMP via a deterministic naive-as-UTC
+    epoch (session-timezone-independent), because watermarks require
+    TIMESTAMP proper (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise)."""
     raw = (
         spark.readStream.format("parquet")
         .schema(EVENTS_RAW)
@@ -63,7 +66,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # makes the file-stream source anchor its basePath at the parent dir
         .load(f"{sf_dir}/events*.parquet")
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn(
+        "ts",
+        F.expr(
+            "timestamp_micros(timestampdiff("
+            "MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+        ),
+    )
 
 
 @contextmanager
@@ -106,10 +115,12 @@ def write_json_landing(spark: SparkSession, sf_dir: str, landing_dir: str) -> No
     Hive-style date partitions — the reference's generator layout
     (data_generator/data_generator.py:72-81: streams/<sensor>/date=.../*.json).
     Test fixture only; production landing zones are written by producers."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from ..sources.readers import load_table
+
+    # ts is NTZ; date_format renders it with a 'Z' suffix (naive-as-UTC),
+    # which try_to_timestamp parses back to the same absolute instant.
     events = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        load_table(spark, sf_dir, "events")
         .withColumn("date", F.to_date("ts"))
         .withColumn("ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
     )
