@@ -41,34 +41,59 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    spark = get_spark(master=f"local[{cpus}]")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    catalog = all_queries()
-    # Warm the JVM + parquet footers once so per-query numbers measure the
-    # query, not first-touch session costs.
-    next(iter(catalog.values())).build(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-
+    # Fault isolation: one broken query must cost one "errors" entry, never
+    # the suite — the JSON line is emitted unconditionally, even if session
+    # startup itself dies.
     timings: dict[str, float] = {}
-    t_suite = time.time()
-    for name, q in sorted(catalog.items()):
-        t0 = time.time()
-        q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_suite, 3)
+    errors: dict[str, str] = {}
+    fatal: str | None = None
+    total = -1.0
+    spark = None
+    try:
+        spark = get_spark(master=f"local[{cpus}]")
+        spark.sparkContext.setLogLevel("ERROR")
 
-    line = json.dumps({
+        catalog = all_queries()
+        # Warm the JVM + parquet footers once so per-query numbers measure
+        # the query, not first-touch session costs.
+        try:
+            next(iter(catalog.values())).build(spark, sf_dir).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass  # warmup failure shows up as that query's own error below
+
+        t_suite = time.time()
+        for name, q in sorted(catalog.items()):
+            t0 = time.time()
+            try:
+                q.build(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                timings[name] = round(time.time() - t0, 3)
+            except Exception as e:  # noqa: BLE001 — isolate, record, continue
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+        total = round(time.time() - t_suite, 3)
+    except Exception as e:  # noqa: BLE001 — catastrophic (session/catalog)
+        fatal = f"{type(e).__name__}: {e}"[:300]
+
+    payload = {
         "metric": "catalog_suite",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-    })
+    }
+    if errors:
+        payload["errors"] = errors
+    if fatal:
+        payload["fatal"] = fatal
+    line = json.dumps(payload)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
         f.write(line + "\n")
-    spark.stop()  # flush any JVM shutdown chatter before the JSON line
+    if spark is not None:
+        try:
+            spark.stop()  # flush any JVM shutdown chatter before the JSON line
+        except Exception:
+            pass
     os.dup2(real_stdout_fd, 1)
     os.write(real_stdout_fd, (line + "\n").encode())
 

@@ -17,6 +17,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_seconds
 from ..sources.readers import load_table
 from .catalog import Query
 
@@ -104,7 +105,7 @@ def _scd2_value_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(
                 F.when(
                     F.col("valid_to").isNotNull(),
-                    F.col("valid_to").cast("long") - F.col("valid_from").cast("long"),
+                    epoch_seconds("valid_to") - epoch_seconds("valid_from"),
                 ).otherwise(0)
             ).alias("covered_s"),
         )

@@ -21,6 +21,7 @@ import functools
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_millis
 from ..sources.readers import load_table
 from .catalog import Query
 
@@ -100,9 +101,9 @@ def _interpolate_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.unix_millis("ts").alias("t_ms"),
+        epoch_millis("ts").alias("t_ms"),
         F.when(masked, None).otherwise(F.col("value")).alias("obs_v"),
-        F.when(masked, None).otherwise(F.unix_millis("ts")).alias("obs_t"),
+        F.when(masked, None).otherwise(epoch_millis("ts")).alias("obs_t"),
         masked.alias("was_masked"),
     )
     wp = (

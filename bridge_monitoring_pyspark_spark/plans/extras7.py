@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import epoch_seconds
 from ..sources.readers import load_table
 from .catalog import Query
 
@@ -35,8 +36,8 @@ def _session_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = e.withColumn(
         "new_sess",
         F.when(
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long")).over(by_user)
+            epoch_seconds("ts")
+            - F.lag(epoch_seconds("ts")).over(by_user)
             > SESSION_GAP_MIN * 60,
             1,
         )
@@ -50,7 +51,7 @@ def _session_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_session = flagged.groupBy("user_id", "sess_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+        (F.max(epoch_seconds("ts")) - F.min(epoch_seconds("ts"))).alias(
             "span_s"
         ),
     )
