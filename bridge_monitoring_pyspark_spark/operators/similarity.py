@@ -260,6 +260,7 @@ def hyperplane_lsh_topk(
     bits: int = 5,
     seed: int = 42,
     exclude_self: bool = True,
+    planes: np.ndarray | None = None,
 ) -> DataFrame:
     """Random-hyperplane (cosine) LSH top-k — the bucketed ANN scale path.
 
@@ -282,9 +283,21 @@ def hyperplane_lsh_topk(
     Pass ``False`` when queries and corpus are distinct tables, where an
     id collision is a legitimate neighbor (matches the brute-force/IVF
     paths' convention).
+
+    ``planes`` overrides the Gaussian draw with an explicit
+    ``(dim, n_tables*bits)`` projection matrix — e.g. seeded Rademacher
+    (±1) signs, which an external oracle can replicate from the same
+    literal matrix (any symmetric distribution is a valid SRP draw).
     """
-    rng = np.random.RandomState(seed)
-    planes = rng.normal(size=(dim, n_tables * bits))
+    if planes is None:
+        rng = np.random.RandomState(seed)
+        planes = rng.normal(size=(dim, n_tables * bits))
+    else:
+        planes = np.asarray(planes, dtype=np.float64)
+        if planes.shape != (dim, n_tables * bits):
+            raise ValueError(
+                f"planes shape {planes.shape} != ({dim}, {n_tables * bits})"
+            )
     weights = (2 ** np.arange(bits)).astype(np.int64)
 
     bucket_schema = "id long, table int, bucket long"

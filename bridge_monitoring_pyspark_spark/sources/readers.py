@@ -45,8 +45,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in TIMESTAMP_COLS.get(name, ()):
-        if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        if c not in df.columns:
+            continue
+        if dict(df.dtypes)[c] == "bigint":
+            # Legacy nanos-as-long → NTZ via timestampadd against the naive
+            # epoch (timezone-free), matching the native NTZ read exactly.
+            df = df.withColumn(
+                c,
+                F.expr(
+                    f"timestampadd(MICROSECOND, {c} div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        got = dict(df.dtypes)[c]
+        # Fail loudly on a silently-wrong layout: every downstream epoch
+        # helper and oracle assumes a timestamp type here, and a bigint
+        # slipping through surfaces only as far-away analysis errors.
+        if got not in ("timestamp", "timestamp_ntz"):
+            raise TypeError(
+                f"{name}.{c}: expected a timestamp type after load, got {got} "
+                f"— testdata layout at {sf_dir} changed; update TIMESTAMP_COLS"
+                " handling in sources/readers.py"
+            )
     return df
 
 
