@@ -1,8 +1,15 @@
 """Benchmark harness — runs the engine's catalog queries at a scale factor.
 
-Prints ONE JSON line:
+Prints ONE JSON line (kept well under 2000 chars — the harness that records
+it captures only a bounded stdout tail, so the per-query timings dict lives
+in BENCH.json, not on stdout):
   {"metric": "catalog_suite", "value": <total sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <sf>}
+   "sf": <sf>, "n_queries": N, "n_errors": N, "queries": {top-10 slowest}}
+
+The full payload — every per-query timing plus the error map — is written
+to BENCH.json next to this file. On fatal failure (session/catalog init
+died) "value" is null, never a number, so a crashed run can't rank as a
+valid timing.
 
 Env:
   SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
@@ -75,20 +82,40 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001 — catastrophic (session/catalog)
         fatal = f"{type(e).__name__}: {e}"[:300]
 
-    payload = {
+    full = {
         "metric": "catalog_suite",
-        "value": total,
+        "value": None if fatal else total,
         "unit": "sec",
-        "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": timings,
     }
     if errors:
-        payload["errors"] = errors
+        full["errors"] = errors
     if fatal:
-        payload["fatal"] = fatal
-    line = json.dumps(payload)
+        full["fatal"] = fatal
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
-        f.write(line + "\n")
+        f.write(json.dumps(full) + "\n")
+
+    # stdout gets a bounded summary: headline number + the 10 slowest
+    # queries + up to 5 error names. ~164 timings would be ~5 KB, which
+    # overflows the consumer's stdout tail and breaks its JSON parse.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    summary = {
+        "metric": "catalog_suite",
+        "value": None if fatal else total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": slowest,
+    }
+    if errors:
+        summary["error_names"] = sorted(errors)[:5]
+    if fatal:
+        summary["fatal"] = fatal[:200]
+    line = json.dumps(summary)
     if spark is not None:
         try:
             spark.stop()  # flush any JVM shutdown chatter before the JSON line

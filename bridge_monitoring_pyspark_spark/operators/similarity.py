@@ -108,15 +108,103 @@ def cosine_topk_arrow(
     )
 
 
+def cosine_pairs_blocked(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All (a < b) pairs with cosine >= threshold — exact, fully
+    distributed, **no driver-side collect** (block self-join).
+
+    Exact all-pairs is inherently O(N²) dot products; what must NOT be O(N)
+    is driver memory. Each vector gets block ``id pmod n_blocks``; every
+    unordered block pair (bi <= bj) is one group key, and each row
+    replicates into the ``n_blocks`` groups it participates in. One
+    ``applyInPandas`` task per group then runs the cross (bi < bj) or
+    strict-upper-triangle (bi == bj) BLAS matmul and emits only
+    above-threshold pairs. Every unordered vector pair lands in exactly one
+    group, so the result equals the brute-force search bit-for-bit.
+
+    Scale (100 TB): shuffle volume = N x n_blocks rows; per-task memory =
+    two blocks (~2N/n_blocks vectors — pick n_blocks so that fits an
+    executor, e.g. 4M x 64-dim float64 ~ 2 GB/block at n_blocks = ceil(N/4M));
+    compute spreads over n_blocks(n_blocks+1)/2 independent tasks. This
+    replaces the earlier broadcast form whose driver collect was O(N).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).cast("int").alias("__blk"),
+    )
+    groups = F.array(
+        *[
+            F.struct(
+                F.least("__blk", F.lit(o)).cast("int").alias("bi"),
+                F.greatest("__blk", F.lit(o)).cast("int").alias("bj"),
+            )
+            for o in range(n_blocks)
+        ]
+    )
+    exploded = v.withColumn("__grp", F.explode(groups)).select(
+        F.col("__grp.bi").alias("__bi"),
+        F.col("__grp.bj").alias("__bj"),
+        "__id",
+        "__vec",
+        "__blk",
+    )
+
+    def block_pairs(key, pdf):
+        bi, bj = key
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine_sim": []})
+        if bi == bj:
+            ids, mat = _normalized_matrix(
+                list(zip(pdf["__id"], pdf["__vec"]))
+            )
+            sims = mat @ mat.T
+            rows, cols = np.where(
+                (sims >= threshold) & (ids[:, None] < ids[None, :])
+            )
+            a_ids, b_ids = ids[rows], ids[cols]
+        else:
+            a = pdf[pdf["__blk"] == bi]
+            b = pdf[pdf["__blk"] == bj]
+            if not len(a) or not len(b):
+                return empty
+            aids, amat = _normalized_matrix(list(zip(a["__id"], a["__vec"])))
+            bids, bmat = _normalized_matrix(list(zip(b["__id"], b["__vec"])))
+            sims = amat @ bmat.T
+            rows, cols = np.where(sims >= threshold)
+            left, right = aids[rows], bids[cols]
+            a_ids = np.minimum(left, right)
+            b_ids = np.maximum(left, right)
+        if not len(a_ids):
+            return empty
+        return pd.DataFrame(
+            {
+                "vec_a": a_ids,
+                "vec_b": b_ids,
+                "cosine_sim": np.round(sims[rows, cols], 4),
+            }
+        )
+
+    return exploded.groupBy("__bi", "__bj").applyInPandas(
+        block_pairs, "vec_a long, vec_b long, cosine_sim double"
+    )
+
+
 def cosine_pairs_arrow(
     vectors: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
     """All (a < b) pairs with cosine >= threshold, via broadcast numpy.
 
     The full normalized matrix is broadcast; each Arrow batch matmuls
-    against it and emits only above-threshold pairs with a < b. At 100 TB
-    replace the full broadcast with LSH/IVF bucketing first — this operator
-    is the exact verifier those candidate generators feed.
+    against it and emits only above-threshold pairs with a < b. **Driver
+    memory is O(N)** — this form is only for a small side (it is the exact
+    verifier LSH/IVF candidate generators feed, and what pytest replays);
+    the production all-pairs path is :func:`cosine_pairs_blocked`, which
+    never materializes the table anywhere.
     """
     all_ids, all_mat = _normalized_matrix(
         vectors.select(id_col, vec_col).collect()

@@ -32,7 +32,7 @@ from ..operators.dedup import (
     verify_candidates_jaccard,
 )
 from ..operators.multimodal import extract_features, with_binary_payload
-from ..operators.similarity import cosine_pairs_arrow, cosine_topk_arrow, ivf_topk
+from ..operators.similarity import cosine_pairs_blocked, cosine_topk_arrow, ivf_topk
 from ..sources.readers import load_table
 from .catalog import Query
 
@@ -256,11 +256,13 @@ def _neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (threshold 0.4 — the testdata has no
-    planted >0.95 pairs), via the broadcast-numpy exact pair search. At
-    scale the candidate set comes from random-hyperplane LSH or the IVF
-    index feeding the same verifier."""
+    planted >0.95 pairs, and at 0.4 LSH bucketing cannot guarantee recall),
+    via the blocked exact all-pairs search: block self-join +
+    per-block-pair BLAS matmul in applyInPandas. Exact like brute force,
+    but nothing is ever collected to the driver — see
+    operators/similarity.py:cosine_pairs_blocked scale notes."""
     e = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_arrow(e, "vec_id", "embedding", 0.4).orderBy("vec_a", "vec_b")
+    return cosine_pairs_blocked(e, "vec_id", "embedding", 0.4).orderBy("vec_a", "vec_b")
 
 
 _NEARDUP_EMB_SQL = """
@@ -314,9 +316,12 @@ ORDER BY query_id, rank
 
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 (10 fixed centroids, 3 probes). No oracle —
-    recall vs brute force is measured in pytest instead (approximate by
-    design; rows-only driver check)."""
+    """IVF approximate top-5 (fixed centroids = every 50th vector, 3
+    probes). Fully deterministic given the centroids, so the DuckDB oracle
+    replays the identical algorithm (nearest-centroid assignment with the
+    same round(·,6)/cluster-asc tie-break, probe filter, exact re-rank) —
+    hash-match needs no recall assumption. Recall vs brute force is
+    additionally measured in pytest."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
     centroids = e.where(F.col("vec_id") % 50 == 0).select(
@@ -327,6 +332,48 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_id="vec_id", corpus_id="vec_id", vec_col="embedding",
         centroid_id="cid", centroid_vec="embedding", k=5, n_probe=3,
     ).orderBy("query_id", "rank")
+
+
+# Same algorithm replayed: corpus→nearest centroid (top-1 by round(csim,6)
+# desc, cid asc), query→3 probe centroids (same ordering), candidates =
+# corpus rows in a probed cluster minus self, exact top-5 re-rank with the
+# engine's tie-break. Centroids are the every-50th-vector rule, so the
+# oracle derives them from the table itself — no literals needed.
+_ANN_IVF_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+cent AS (SELECT CAST(vec_id // 50 AS INT) AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+corpus_assign AS (
+  SELECT vec_id AS neighbor_id, v, cid FROM (
+    SELECT e.vec_id, e.v, cent.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+                      cent.cid ASC) AS rn
+    FROM e CROSS JOIN cent
+  ) WHERE rn = 1
+),
+query_probes AS (
+  SELECT vec_id AS query_id, v AS qv, cid FROM (
+    SELECT e.vec_id, e.v, cent.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, cent.cv), 6) DESC,
+                      cent.cid ASC) AS rn
+    FROM e CROSS JOIN cent
+    WHERE e.vec_id < 10
+  ) WHERE rn <= 3
+),
+scored AS (
+  SELECT q.query_id, c.neighbor_id, list_cosine_similarity(q.qv, c.v) AS s
+  FROM query_probes q JOIN corpus_assign c
+    ON q.cid = c.cid AND c.neighbor_id != q.query_id
+)
+SELECT query_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY round(s, 6) DESC, neighbor_id ASC) AS INT) AS rank,
+       neighbor_id, round(s, 4) AS cosine_sim
+FROM scored
+QUALIFY rank <= 5
+ORDER BY query_id, rank
+"""
 
 
 # --- Multimodal --------------------------------------------------------------------
@@ -363,6 +410,6 @@ QUERIES = [
           simhash63_oracle_sql("documents", "doc_id", "text"),
           ("llm", "dedup")),
     Query("ann_cosine_topk", _ann_bruteforce, _ANN_SQL, ("llm", "ann")),
-    Query("ann_ivf_topk", _ann_ivf, None, ("llm", "ann", "no_oracle")),
+    Query("ann_ivf_topk", _ann_ivf, _ANN_IVF_SQL, ("llm", "ann", "ivf")),
     Query("multimodal_features", _multimodal_features, _MULTIMODAL_SQL, ("llm", "multimodal")),
 ]

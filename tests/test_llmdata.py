@@ -178,3 +178,68 @@ def test_decode_media_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image/png")
+
+
+def test_blocked_pairs_equal_broadcast_pairs(spark):
+    """cosine_pairs_blocked (distributed block self-join, no driver
+    collect) must emit exactly the same pair set as the broadcast-numpy
+    verifier form — blocked is the production path, arrow the small-side
+    verifier, and they must never disagree."""
+    from bridge_monitoring_pyspark_spark.operators.similarity import (
+        cosine_pairs_arrow,
+        cosine_pairs_blocked,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    blocked = {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in cosine_pairs_blocked(e, "vec_id", "embedding", 0.35, n_blocks=5).collect()
+    }
+    arrow = {
+        (r.vec_a, r.vec_b, r.cosine_sim)
+        for r in cosine_pairs_arrow(e, "vec_id", "embedding", 0.35).collect()
+    }
+    assert blocked == arrow
+    assert len(blocked) > 0
+
+
+def test_lsh_matches_pinned_plane_replay(spark):
+    """ann_lsh_topk with the pinned Rademacher planes must equal a local
+    numpy replay of the same algorithm — the same property the DuckDB
+    oracle asserts, checked here without DuckDB in the loop."""
+    import numpy as np
+
+    from bridge_monitoring_pyspark_spark.plans.extras3 import (
+        _LSH_PLANES,
+        LSH_BITS,
+        LSH_TABLES,
+    )
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    signs = (mat @ _LSH_PLANES) > 0
+    codes = signs.reshape(len(ids), LSH_TABLES, LSH_BITS) @ (2 ** np.arange(LSH_BITS))
+    buckets = {}  # (table, code) -> ids
+    for i, vid in enumerate(ids):
+        for t in range(LSH_TABLES):
+            buckets.setdefault((t, codes[i, t]), []).append(vid)
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    by_id = {vid: norm[i] for i, vid in enumerate(ids)}
+    expected = {}
+    for qi, qid in enumerate(ids):
+        if qid >= 10:
+            continue
+        cands = set()
+        for t in range(LSH_TABLES):
+            cands.update(buckets[(t, codes[qi, t])])
+        cands.discard(qid)
+        sims = sorted(
+            ((round(float(by_id[qid] @ by_id[c]), 6), -c) for c in cands),
+            reverse=True,
+        )[:5]
+        expected[qid] = [(-negc, rank + 1) for rank, (_, negc) in enumerate(sims)]
+    got = {}
+    for r in all_queries()["ann_lsh_topk"].build(spark, SF_SMOKE).collect():
+        got.setdefault(r.query_id, []).append((r.neighbor_id, r.rank))
+    assert got == expected

@@ -164,3 +164,20 @@ def test_no_row_at_a_time_python_udfs(spark):
         df = CATALOG[name].build(spark, SF_SMOKE)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, f"{name} plans a row-at-a-time UDF"
+
+
+def test_neardup_pairs_build_never_touches_driver(spark, monkeypatch):
+    """neardup_embedding_pairs must plan without any driver-side
+    materialization — the round-2/3 scale-killer was a full-table
+    .collect() at build time. Poisoning collect()/toPandas() during build
+    proves the blocked form keeps the corpus on the executors."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver-side materialization during query build")
+
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    df = CATALOG["neardup_embedding_pairs"].build(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan  # the blocked matmul stage
