@@ -85,15 +85,20 @@ CHUNK_CHARS = 120
 def _udtf_char_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (table function, Spark 3.5+) splitting each document
     into fixed-width char chunks, applied per-row via SQL LATERAL.
-    ``useArrow=True`` (Spark 4) moves rows in Arrow batches — without it
-    the plan shows row-pickling ``BatchEvalPython`` (caught by
-    tools/plan_audit.py); with it, ``ArrowEvalPython``-family execution.
-    Bulk chunking still prefers the pure-codegen form
-    (doc_chunks_sliding); the UDTF is the extensibility surface."""
+
+    ``useArrow`` is deliberately **False** here, on measurement: in this
+    Spark build the Arrow UDTF path does engage under LATERAL
+    (``ArrowEvalPythonUDTF`` in the plan) but benches ~3x slower than the
+    pickled ``BatchEvalPythonUDTF`` at sf0.1 (2.16s vs 0.68s, 3-run
+    medians) — a generator UDTF emitting a few short rows per input is
+    dominated by per-call Arrow batch assembly, not serialization. The
+    row-pickling ban (tests/test_plan_quality.py, tools/plan_audit.py)
+    carves out exactly this operator; scalar UDFs stay Arrow-only. Bulk
+    chunking still prefers the pure-codegen form (doc_chunks_sliding);
+    the UDTF is the extensibility surface."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="chunk_idx int, chunk_chars int, chunk_md5 string",
-          useArrow=True)
+    @udtf(returnType="chunk_idx int, chunk_chars int, chunk_md5 string")
     class CharChunker:
         def eval(self, text: str):
             for k, start in enumerate(range(0, len(text), CHUNK_CHARS)):

@@ -150,9 +150,17 @@ def test_no_row_at_a_time_python_udfs(spark):
     """Every Python-extension query must plan Arrow-family execution
     (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas...), never the
     row-pickling BatchEvalPython (tools/plan_audit.py sweeps the whole
-    catalog; this pins the contract on the Python-UDF headliners)."""
+    catalog; this pins the contract on the Python-UDF headliners).
+
+    Exception: udtf_char_chunks plans BatchEvalPythonUDTF on purpose — the
+    Arrow UDTF path was measured 3x slower for that generator workload
+    (see its docstring) — so it asserts the UDTF operator, while scalar
+    BatchEvalPython remains banned everywhere."""
+    df = CATALOG["udtf_char_chunks"].build(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPythonUDTF" in plan
+    assert "BatchEvalPython " not in plan.replace("BatchEvalPythonUDTF", "")
     for name in (
-        "udtf_char_chunks",
         "multimodal_features",
         "multimodal_resize",
         "ann_cosine_topk",
