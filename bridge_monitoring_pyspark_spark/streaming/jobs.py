@@ -41,6 +41,11 @@ from ..operators.dq import SensorRules, split_valid_invalid
 
 # Streaming-side schema for the driver's events table: parquet timestamp[us]
 # with isAdjustedToUTC=false → TIMESTAMP_NTZ (see sources/readers.py).
+# Deliberate asymmetry with load_table: the batch reader also converts the
+# legacy TIMESTAMP(NANOS)-as-long layout, but this streaming schema pins NTZ
+# µs only — on a nanos layout the stream fails loudly at first batch (schema
+# mismatch) instead of silently mis-typing; extend here if that layout ever
+# returns to the driver testdata.
 EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -53,26 +58,35 @@ EVENTS_RAW = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming parquet source over the events table (S3 in SURVEY.md §2.1).
+# NTZ wall-clock → zoned TIMESTAMP at the same absolute instant (naive read
+# as UTC). The *instant* is session-timezone-independent — timestamp_micros
+# builds from epoch micros directly — but any later field extraction on the
+# zoned value (to_date, hour, date_format) renders in the session timezone;
+# derive calendar fields from the NTZ value BEFORE this retype when they
+# must not shift with session tz (see run_bronze).
+_NTZ_AS_UTC = (
+    "timestamp_micros(timestampdiff("
+    "MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+)
 
-    Event-time is re-typed NTZ → TIMESTAMP via a deterministic naive-as-UTC
-    epoch (session-timezone-independent), because watermarks require
-    TIMESTAMP proper (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise)."""
-    raw = (
+
+def read_events_stream_ntz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet source over the events table, timestamps left NTZ
+    (S3 in SURVEY.md §2.1)."""
+    return (
         spark.readStream.format("parquet")
         .schema(EVENTS_RAW)
         # the driver testdata is a single file, not a directory; a glob path
         # makes the file-stream source anchor its basePath at the parent dir
         .load(f"{sf_dir}/events*.parquet")
     )
-    return raw.withColumn(
-        "ts",
-        F.expr(
-            "timestamp_micros(timestampdiff("
-            "MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
-        ),
-    )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming events source with event-time re-typed NTZ → TIMESTAMP
+    (naive-as-UTC instant), because watermarks require TIMESTAMP proper
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise)."""
+    return read_events_stream_ntz(spark, sf_dir).withColumn("ts", F.expr(_NTZ_AS_UTC))
 
 
 @contextmanager
@@ -117,12 +131,21 @@ def write_json_landing(spark: SparkSession, sf_dir: str, landing_dir: str) -> No
     Test fixture only; production landing zones are written by producers."""
     from ..sources.readers import load_table
 
-    # ts is NTZ; date_format renders it with a 'Z' suffix (naive-as-UTC),
-    # which try_to_timestamp parses back to the same absolute instant.
+    # ts is NTZ: date_format renders its naive fields verbatim (no zone
+    # pattern letter, so no session-tz dependence) and the literal 'Z'
+    # stamps them as UTC — try_to_timestamp downstream recovers the same
+    # absolute instant in any session timezone. (The earlier XXX pattern
+    # rendered the *session* offset, which was only 'Z' under the
+    # UTC-pinned session.)
     events = (
         load_table(spark, sf_dir, "events")
         .withColumn("date", F.to_date("ts"))
-        .withColumn("ts", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"))
+        .withColumn(
+            "ts",
+            F.concat(
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), F.lit("Z")
+            ),
+        )
     )
     events.write.mode("overwrite").partitionBy("date").json(landing_dir)
 
@@ -218,9 +241,16 @@ def run_bronze(
 ) -> dict[str, str]:
     """Bronze: derive partition_date, null-split, route valid/rejected to
     separate checkpointed sinks; valid is date-partitioned
-    (reference: pipelines/bronze_ingest.py:44-103)."""
-    events = read_events_stream(spark, sf_dir).withColumn(
-        "partition_date", F.to_date("ts")
+    (reference: pipelines/bronze_ingest.py:44-103).
+
+    partition_date comes from the NTZ wall clock *before* the zoned retype:
+    to_date on a zoned TIMESTAMP renders in the session timezone, which
+    would shift partition boundaries in a non-UTC session; to_date on NTZ
+    is the naive calendar date, identical everywhere."""
+    events = (
+        read_events_stream_ntz(spark, sf_dir)
+        .withColumn("partition_date", F.to_date("ts"))
+        .withColumn("ts", F.expr(_NTZ_AS_UTC))
     )
     valid, invalid = split_valid_invalid(
         events, F.col("ts").isNotNull() & F.col("value").isNotNull()

@@ -9,8 +9,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bridge_monitoring_pyspark_spark.session import get_spark
 
-SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
+from testdata_paths import SF_ORACLE, SF_SMOKE  # noqa: E402,F401 — shared with test modules
 
 
 @pytest.fixture(scope="session")

@@ -9,7 +9,7 @@ import pytest
 
 from bridge_monitoring_pyspark_spark.plans.catalog import all_queries
 
-from conftest import SF_SMOKE
+from testdata_paths import SF_SMOKE
 
 CATALOG = all_queries()
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from bridge_monitoring_pyspark_spark.plans.catalog import all_queries
 
-from conftest import SF_SMOKE
+from testdata_paths import SF_SMOKE
 
 
 def test_every_query_resolves_analysis(spark):

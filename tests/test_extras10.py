@@ -9,7 +9,7 @@ from bridge_monitoring_pyspark_spark.plans.catalog import all_queries
 from bridge_monitoring_pyspark_spark.plans.extras10 import COMPACT_TARGET_FILES
 from bridge_monitoring_pyspark_spark.sources.readers import load_table
 
-from conftest import SF_SMOKE
+from testdata_paths import SF_SMOKE
 
 
 def test_compaction_shrinks_files_conserves_rows(spark):

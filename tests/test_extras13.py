@@ -10,7 +10,7 @@ from bridge_monitoring_pyspark_spark.plans.catalog import all_queries
 from bridge_monitoring_pyspark_spark.plans.extras13 import _zorder_bits
 from bridge_monitoring_pyspark_spark.sources.readers import load_table
 
-from conftest import SF_SMOKE
+from testdata_paths import SF_SMOKE
 
 
 def _py_morton(x: int, y: int, bits: int = 8) -> int:

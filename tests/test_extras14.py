@@ -13,7 +13,7 @@ from bridge_monitoring_pyspark_spark.plans.extras14 import (
 )
 from bridge_monitoring_pyspark_spark.sources.readers import load_table
 
-from conftest import SF_SMOKE
+from testdata_paths import SF_SMOKE
 
 
 def test_pagerank_matches_numpy_replay(spark):

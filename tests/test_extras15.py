@@ -11,7 +11,7 @@ from bridge_monitoring_pyspark_spark.plans.catalog import all_queries
 from bridge_monitoring_pyspark_spark.plans.extras15 import PACK_BUDGET
 from bridge_monitoring_pyspark_spark.sources.readers import load_table
 
-from conftest import SF_SMOKE
+from testdata_paths import SF_SMOKE
 
 
 def test_shuffle_rank_is_permutation(spark):

@@ -13,7 +13,7 @@ from bridge_monitoring_pyspark_spark.plans.catalog import all_queries
 from bridge_monitoring_pyspark_spark.plans.extras16 import LANG_TOKEN_BUDGET
 from bridge_monitoring_pyspark_spark.sources.readers import load_table
 
-from conftest import SF_SMOKE
+from testdata_paths import SF_SMOKE
 
 
 def test_mixture_weights_match_python_replay(spark):

@@ -9,7 +9,7 @@ from bridge_monitoring_pyspark_spark.plans.catalog import all_queries
 from bridge_monitoring_pyspark_spark.plans.extras17 import INCR_SPLIT, QUANT_BITS_MAX
 from bridge_monitoring_pyspark_spark.sources.readers import load_table
 
-from conftest import SF_SMOKE
+from testdata_paths import SF_SMOKE
 
 
 def test_incremental_dedup_matches_python_replay(spark):

@@ -24,7 +24,7 @@ from bridge_monitoring_pyspark_spark.operators.multimodal import (
 from bridge_monitoring_pyspark_spark.plans.catalog import all_queries
 from bridge_monitoring_pyspark_spark.sources.readers import load_table
 
-from conftest import SF_SMOKE
+from testdata_paths import SF_SMOKE
 
 
 def test_simhash_matches_python_reference(spark):

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from bridge_monitoring_pyspark_spark.plans.catalog import all_queries
 from bridge_monitoring_pyspark_spark.sources.readers import load_table
 
-from conftest import SF_SMOKE
+from testdata_paths import SF_SMOKE
 
 CATALOG = all_queries()
 

@@ -11,7 +11,7 @@ from bridge_monitoring_pyspark_spark.plans.bridge import EVENT_RULES
 from bridge_monitoring_pyspark_spark.sources.readers import load_table
 from bridge_monitoring_pyspark_spark.streaming.jobs import run_bronze, run_gold, run_silver
 
-from conftest import SF_SMOKE
+from testdata_paths import SF_SMOKE
 
 
 def test_bronze_routing_partitions_completely(spark):
