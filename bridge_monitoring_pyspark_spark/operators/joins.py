@@ -48,6 +48,44 @@ def range_join(
     return left.join(right, equi & range_cond, how=how)
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_on: str,
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the manual salting pattern for when one
+    join key holds a disproportionate share of the fact side, the dim side
+    is too large to broadcast, and AQE's skew split can't help (e.g. the
+    skewed stage feeds a stateful/streaming operator, or the straggler is
+    the *state store* partition rather than a shuffle block).
+
+    Fact rows fan out across ``buckets`` reducers via a deterministic salt
+    hashed from ``salt_on`` (a fact-side high-cardinality column — using a
+    deterministic hash instead of rand() keeps the operator replayable and
+    retry-safe); the dim side replicates once per salt value, so every
+    (key, salt) pair still meets all its matches. Result is identical to
+    the plain equi-join for ``inner`` and ``left`` (fact-preserving) joins;
+    right/full would duplicate unmatched dim rows per salt, so they are
+    rejected.
+
+    Cost model: dim shuffle volume × ``buckets``; the hot fact key's rows
+    spread over ``buckets`` reducers. Pick buckets ≈ (hot-key share ×
+    fact rows) / target-partition-rows. With AQE available prefer
+    ``skewJoin.enabled`` and keep this for the cases above.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join preserves fact rows only; how={how!r}")
+    salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(buckets)).cast("int")
+    fact_s = fact.withColumn("__salt", salt)
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    return fact_s.join(dim_s, on=[key, "__salt"], how=how).drop("__salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -139,6 +139,7 @@ def all_queries() -> dict[str, Query]:
         extras15,
         extras16,
         extras17,
+        extras18,
     )
 
     out: dict[str, Query] = {}
@@ -158,6 +159,7 @@ def all_queries() -> dict[str, Query]:
         extras15,
         extras16,
         extras17,
+        extras18,
     ):
         for q in mod.QUERIES:
             if q.name in out:

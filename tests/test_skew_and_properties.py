@@ -103,3 +103,59 @@ def test_dq_split_partition_invariant(spark, rows):
     for r in valid.collect():
         assert r.value is not None and not math.isnan(r.value)
         assert -40 <= r.value <= 80
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must be bit-identical to the plain equi-join (inner and
+    left), including on a synthetically hot key, with broadcast disabled so
+    the salted shuffle path actually executes."""
+    from pyspark.sql import functions as F
+
+    from bridge_monitoring_pyspark_spark.operators.joins import salted_join
+    from bridge_monitoring_pyspark_spark.sources.readers import load_table
+    from testdata_paths import SF_SMOKE
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        e = load_table(spark, SF_SMOKE, "events")
+        # hot key: fold ~half the fact side onto user_id 1
+        fact = e.select(
+            F.when(F.col("event_id") % 2 == 0, F.lit(1))
+            .otherwise(F.col("user_id"))
+            .alias("user_id"),
+            "event_id",
+            "value",
+        )
+        dim = (
+            e.select("user_id").distinct()
+            .withColumn("user_tag", F.concat(F.lit("u"), F.col("user_id")))
+        )
+        for how in ("inner", "left"):
+            plain = fact.join(dim, on="user_id", how=how)
+            salted = salted_join(fact, dim, "user_id", salt_on="event_id",
+                                 buckets=4, how=how)
+            assert sorted(map(tuple, plain.collect())) == sorted(
+                map(tuple, salted.collect())
+            ), how
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_physical_keys_include_salt(spark):
+    """The witness only means something if the shuffle actually partitions
+    on (key, salt): with broadcast off, the join must be a shuffle join
+    whose keys include the deterministic salt."""
+    from bridge_monitoring_pyspark_spark.plans.catalog import all_queries
+    from testdata_paths import SF_SMOKE
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        df = all_queries()["salted_skew_join_revenue"].build(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "__salt" in plan and "xxhash64" in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
