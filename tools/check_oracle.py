@@ -5,13 +5,16 @@ compares row count, schema width, and an order-insensitive value comparison
 (columns sorted by name, rows sorted, values stringified). Stricter than a
 hash compare: prints the first differing rows on mismatch.
 
-Usage:  python tools/check_oracle.py [--vanilla] [--first N] [query ...]
+Usage:  python tools/check_oracle.py [--vanilla] [--first N] [--json PATH] [query ...]
 
 ``--vanilla`` builds a bare SparkSession (no session.py configs — ANSI on,
 no legacy parquet flags, default shuffle partitions), replicating the
 driver's harness exactly; any query that only works under our tuned session
 fails here first. ``--first N`` limits to the first N queries in catalog
 insertion order (the driver's correctness window is the first ~50).
+``--json PATH`` additionally writes a per-query result map (the committed
+ORACLE_FULL.json evidence that the 114 queries past the driver's window
+are oracle-green too).
 """
 
 from __future__ import annotations
@@ -67,6 +70,11 @@ def main() -> int:
         i = argv.index("--first")
         first_n = int(argv[i + 1])
         del argv[i:i + 2]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        del argv[i:i + 2]
     only = set(argv)
     if vanilla:
         from pyspark.sql import SparkSession
@@ -86,6 +94,7 @@ def main() -> int:
     if first_n is not None:
         catalog = catalog[:first_n]
     failures = []
+    results: dict[str, dict] = {}
     for name, q in sorted(catalog):
         if only and name not in only:
             continue
@@ -98,6 +107,8 @@ def main() -> int:
                   f"[{time.time()-t0:.1f}s]")
             if len(srows) == 0:
                 failures.append((name, "0 rows from rows-only query"))
+            results[name] = {"rows": len(srows), "status": "rows_only",
+                             "ok": len(srows) > 0}
             continue
         res = con.execute(q.oracle)
         dcols = [d[0] for d in res.description]
@@ -117,7 +128,29 @@ def main() -> int:
         for p in problems:
             print(f"      {p}")
             failures.append((name, p))
+        results[name] = {
+            "rows": len(srows),
+            "status": "ok" if not problems else "fail",
+            "ok": not problems,
+            **({"problems": [p[:200] for p in problems]} if problems else {}),
+        }
     print(f"\n{'ALL OK' if not failures else f'{len(failures)} FAILURES'}")
+    if json_path:
+        import json
+
+        summary = {
+            "sf_dir": SF_DIR,
+            "vanilla": vanilla,
+            "n_checked": len(results),
+            "n_oracle_ok": sum(1 for r in results.values() if r["status"] == "ok"),
+            "n_rows_only": sum(1 for r in results.values() if r["status"] == "rows_only"),
+            "n_fail": len(failures),
+            "queries": results,
+        }
+        with open(json_path, "w") as f:
+            json.dump(summary, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {json_path}")
     return 1 if failures else 0
 
 
