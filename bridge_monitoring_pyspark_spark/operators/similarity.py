@@ -236,6 +236,116 @@ def cosine_pairs_arrow(
     ).mapInPandas(batches, "vec_a long, vec_b long, cosine_sim double")
 
 
+def knn_join_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str,
+    corpus_vec: str,
+    k: int,
+    n_query_blocks: int = 4,
+    n_corpus_blocks: int = 8,
+) -> DataFrame:
+    """Exact k-NN **join** — top-k cosine neighbors for *every* query row —
+    with BOTH sides distributed (no driver collect, no broadcast of either
+    table). :func:`cosine_topk_arrow` collects/broadcasts the query side,
+    which is right for a handful of probes but wrong when the query side is
+    itself a large table (the "find neighbors for every document" shape).
+
+    Grid decomposition: query block i × corpus block j is one group key;
+    each query row replicates to its row of the grid (×n_corpus_blocks),
+    each corpus row to its column (×n_query_blocks). One applyInPandas
+    task per cell runs the BLAS matmul and keeps only a per-query partial
+    top-k (k rows per query per cell — every neighbor lives in exactly one
+    corpus block, so the global top-k survives the partial cut); a final
+    per-query rank merges the ≤ k × n_corpus_blocks candidates. Self-
+    matches (same id) are excluded, matching the brute-force convention.
+
+    Scale (100 TB): shuffle volume = Nq×n_corpus_blocks + Nc×n_query_blocks
+    rows; per-task memory = one query block + one corpus block. Compute is
+    the inherent exact-kNN Nq×Nc matmul, spread over the full grid. Tune
+    block counts so blocks fit executor memory; the merge input is only
+    k×n_corpus_blocks rows per query, so the final shuffle is tiny.
+    """
+    qs = queries.select(
+        F.col(query_id).alias("__id"),
+        F.col(query_vec).cast("array<double>").alias("__vec"),
+        F.lit("q").alias("__side"),
+        F.pmod(F.col(query_id), F.lit(n_query_blocks)).cast("int").alias("__own"),
+    ).withColumn(
+        "__cell",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.col("__own").alias("gq"),
+                    F.lit(j).cast("int").alias("gc"),
+                )
+                for j in range(n_corpus_blocks)
+            ])
+        ),
+    )
+    cs = corpus.select(
+        F.col(corpus_id).alias("__id"),
+        F.col(corpus_vec).cast("array<double>").alias("__vec"),
+        F.lit("c").alias("__side"),
+        F.pmod(F.col(corpus_id), F.lit(n_corpus_blocks)).cast("int").alias("__own"),
+    ).withColumn(
+        "__cell",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).cast("int").alias("gq"),
+                    F.col("__own").alias("gc"),
+                )
+                for i in range(n_query_blocks)
+            ])
+        ),
+    )
+    grid = qs.unionByName(cs).select(
+        F.col("__cell.gq").alias("__gq"),
+        F.col("__cell.gc").alias("__gc"),
+        "__id",
+        "__vec",
+        "__side",
+    )
+
+    def cell_topk(key, pdf):
+        q = pdf[pdf["__side"] == "q"]
+        c = pdf[pdf["__side"] == "c"]
+        if not len(q) or not len(c):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
+        qids, qmat = _normalized_matrix(list(zip(q["__id"], q["__vec"])))
+        cids, cmat = _normalized_matrix(list(zip(c["__id"], c["__vec"])))
+        sims = cmat @ qmat.T  # (nc, nq)
+        sims[cids[:, None] == qids[None, :]] = -np.inf  # self-match
+        take = min(k, sims.shape[0])
+        top = np.argpartition(-sims, take - 1, axis=0)[:take]
+        out = pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, take),
+                "neighbor_id": cids[top.T.ravel()],
+                "sim": sims[top.T.ravel(), np.repeat(np.arange(len(qids)), take)],
+            }
+        )
+        return out[out["sim"] != -np.inf]
+
+    partial = grid.groupBy("__gq", "__gc").applyInPandas(
+        cell_topk, "query_id long, neighbor_id long, sim double"
+    )
+    ranked = top_k_per_group(
+        partial,
+        ["query_id"],
+        [F.round("sim", 6).desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    )
+    return ranked.select(
+        "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id",
+        F.round("sim", 4).alias("cosine_sim"),
+    )
+
+
 def cosine_topk_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,

@@ -243,3 +243,36 @@ def test_lsh_matches_pinned_plane_replay(spark):
     for r in all_queries()["ann_lsh_topk"].build(spark, SF_SMOKE).collect():
         got.setdefault(r.query_id, []).append((r.neighbor_id, r.rank))
     assert got == expected
+
+
+def test_knn_join_blocked_equals_bruteforce(spark, monkeypatch):
+    """knn_join_blocked (both sides distributed) must equal the broadcast
+    brute-force top-k row-for-row, and must build without any driver-side
+    materialization (unlike cosine_topk_arrow, which collects the query
+    side by design)."""
+    from pyspark.sql import DataFrame
+
+    from bridge_monitoring_pyspark_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        knn_join_blocked,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.where(F.col("vec_id") < 20)
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver-side materialization during build")
+
+    with monkeypatch.context() as m:
+        m.setattr(DataFrame, "collect", _boom)
+        m.setattr(DataFrame, "toPandas", _boom)
+        blocked = knn_join_blocked(
+            q, e, "vec_id", "vec_id", "embedding", "embedding", k=4,
+            n_query_blocks=3, n_corpus_blocks=5,
+        )
+    exact = cosine_topk_bruteforce(
+        q, e, "vec_id", "vec_id", "embedding", "embedding", k=4
+    )
+    assert sorted(map(tuple, blocked.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
