@@ -94,9 +94,95 @@ ORDER BY query_id, rank
 """
 
 
+STREAM_SALT = 4
+
+
+def _streaming_salted_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted stream-stream interval join — the hot-key tool where AQE
+    genuinely cannot help, because the straggler is a *state store*
+    partition, not a shuffle block (AQE is disabled in stateful streaming).
+
+    Clicks carry a deterministic salt from xxhash64(click_id); purchases
+    explode into STREAM_SALT copies (stateless, pre-join) so every
+    (user, salt) partition still sees all of that user's purchases. The
+    join keys on (user, salt) + the event-time interval: a hot user's
+    click state and throughput spread over STREAM_SALT state partitions,
+    at the explicit price of STREAM_SALT× purchase-side state. Each
+    click–purchase pair matches in exactly one salt copy, so the drained
+    result equals the unsalted interval join and shares its batch oracle."""
+    import tempfile
+
+    from ..streaming.jobs import _stream_shuffle_partitions, _write, read_events_stream
+
+    base = tempfile.mkdtemp(prefix="eng_sivj_")
+    events = read_events_stream(spark, sf_dir)
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.pmod(F.xxhash64("event_id"), F.lit(STREAM_SALT))
+            .cast("int")
+            .alias("c_salt"),
+        )
+        .withWatermark("c_ts", "2 minutes")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withColumn(
+            "p_salt",
+            F.explode(F.array(*[F.lit(i).cast("int") for i in range(STREAM_SALT)])),
+        )
+        .withWatermark("p_ts", "2 minutes")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_salt") == F.col("p_salt"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("click_id", "purchase_id", "c_user")
+    with _stream_shuffle_partitions(spark, 8):
+        q = _write(pairs, base, "salted_interval_join", True)
+    q.awaitTermination()
+    out = spark.read.parquet(base + "/salted_interval_join")
+    return (
+        out.groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.min("click_id").alias("first_click"))
+        .orderBy("user_id")
+    )
+
+
+# Identical result to the unsalted stream-stream interval join — the salt
+# only reshapes partitioning — so the oracle is the same batch join.
+_SALTED_INTERVAL_SQL = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+       min(c.click_id) AS first_click
+FROM c JOIN p ON c.user_id = p.user_id
+ AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+
 QUERIES = [
     Query("salted_skew_join_revenue", _salted_skew_join_revenue, _SALTED_SQL,
           ("join", "skew", "salting")),
     Query("knn_join_blocked", _knn_join_blocked, _KNN_JOIN_SQL,
           ("llm", "ann", "knn_join")),
+    Query("streaming_salted_interval_join", _streaming_salted_interval_join,
+          _SALTED_INTERVAL_SQL, ("streaming", "join", "skew", "salting")),
 ]
