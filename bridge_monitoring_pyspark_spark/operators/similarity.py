@@ -50,6 +50,30 @@ def _normalized_matrix(rows: list, id_idx: int = 0, vec_idx: int = 1):
     return ids, m / norms
 
 
+def _partial_topk_rows(sims: np.ndarray, cids: np.ndarray, k: int):
+    """Per-query-column top-k row indices of ``sims`` (corpus × queries),
+    cut under the engine's exact ranking order: round(sim, 6) DESC, then
+    corpus id ASC — NOT raw-float order.
+
+    An argpartition on raw sims breaks ties arbitrarily, which is wrong
+    precisely in the dedup use-case: duplicate corpus vectors tie
+    bit-for-bit, and a partial cut that keeps the larger id would diverge
+    from the merge/oracle tie-break. The composite integer key (rounded
+    micro-units × 2^34 − dense id rank) makes the cut vectorized AND
+    deterministic; −inf self-match sentinels map to int64 min so they sort
+    last. Returns (row_indices shaped (take, n_queries), take).
+    """
+    finite = np.isfinite(sims)
+    ki = np.full(sims.shape, np.iinfo(np.int64).min // 4, dtype=np.int64)
+    ki[finite] = np.round(sims[finite] * 1_000_000.0).astype(np.int64)
+    order = np.argsort(cids)
+    cid_rank = np.empty(len(cids), dtype=np.int64)
+    cid_rank[order] = np.arange(len(cids))
+    composite = ki * (1 << 34) - cid_rank[:, None]
+    take = min(k, sims.shape[0])
+    return np.argpartition(-composite, take - 1, axis=0)[:take], take
+
+
 def cosine_topk_arrow(
     queries: DataFrame,
     corpus: DataFrame,
@@ -83,8 +107,7 @@ def cosine_topk_arrow(
             cnorm[cnorm == 0.0] = 1.0
             sims = (cmat / cnorm) @ qmat.T  # (batch, n_queries)
             sims[cids[:, None] == qids[None, :]] = -np.inf  # self-match
-            take = min(k, sims.shape[0])
-            top = np.argpartition(-sims, take - 1, axis=0)[:take]  # per query
+            top, take = _partial_topk_rows(sims, cids, k)  # per query, tie-safe
             out = {
                 "query_id": np.repeat(qids, take),
                 "neighbor_id": cids[top.T.ravel()],
@@ -319,8 +342,7 @@ def knn_join_blocked(
         cids, cmat = _normalized_matrix(list(zip(c["__id"], c["__vec"])))
         sims = cmat @ qmat.T  # (nc, nq)
         sims[cids[:, None] == qids[None, :]] = -np.inf  # self-match
-        take = min(k, sims.shape[0])
-        top = np.argpartition(-sims, take - 1, axis=0)[:take]
+        top, take = _partial_topk_rows(sims, cids, k)  # tie-safe cut
         out = pd.DataFrame(
             {
                 "query_id": np.repeat(qids, take),

@@ -276,3 +276,30 @@ def test_knn_join_blocked_equals_bruteforce(spark, monkeypatch):
     assert sorted(map(tuple, blocked.collect())) == sorted(
         map(tuple, exact.collect())
     )
+
+
+def test_knn_join_tie_safe_on_duplicate_vectors(spark):
+    """Duplicate corpus vectors tie bit-for-bit; the blocked kNN join's
+    within-cell partial cut must break those ties exactly like the global
+    merge (round(sim,6) desc, neighbor asc) or it diverges from brute
+    force. Corpus = embeddings unioned with itself under shifted ids, so
+    every neighbor has an exact twin."""
+    from bridge_monitoring_pyspark_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        knn_join_blocked,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    twin = e.select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    corpus = e.unionByName(twin)
+    q = e.where(F.col("vec_id") < 15)
+    blocked = knn_join_blocked(
+        q, corpus, "vec_id", "vec_id", "embedding", "embedding", k=4,
+        n_query_blocks=2, n_corpus_blocks=7,
+    )
+    exact = cosine_topk_bruteforce(
+        q, corpus, "vec_id", "vec_id", "embedding", "embedding", k=4
+    )
+    assert sorted(map(tuple, blocked.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
