@@ -98,19 +98,15 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as f:
         f.write(json.dumps(full) + "\n")
 
-    # stdout gets a bounded summary: headline number + the 10 slowest
-    # queries + up to 5 error names. ~164 timings would be ~5 KB, which
-    # overflows the consumer's stdout tail and breaks its JSON parse.
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    # stdout gets a bounded summary derived from the full payload: headline
+    # numbers + the 10 slowest queries + up to 5 error names. ~165 timings
+    # would be ~5 KB, which overflows the consumer's stdout tail and breaks
+    # its JSON parse.
     summary = {
-        "metric": "catalog_suite",
-        "value": None if fatal else total,
-        "unit": "sec",
-        "sf": sf,
-        "n_queries": len(timings),
-        "n_errors": len(errors),
-        "queries": slowest,
+        **full,
+        "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10]),
     }
+    summary.pop("errors", None)
     if errors:
         summary["error_names"] = sorted(errors)[:5]
     if fatal:

@@ -64,7 +64,12 @@ def _partial_topk_rows(sims: np.ndarray, cids: np.ndarray, k: int):
     last. Returns (row_indices shaped (take, n_queries), take).
     """
     finite = np.isfinite(sims)
-    ki = np.full(sims.shape, np.iinfo(np.int64).min // 4, dtype=np.int64)
+    # Sentinel must survive the * (1 << 34) below without int64 overflow:
+    # -(1<<28) is far below any real rounded sim (|sim| <= 1 → |ki| <= 1e6)
+    # and -(1<<28)*(1<<34) = -2^62 stays in range. int64.min//4 here
+    # overflowed and wrapped the sentinel's composite to ~0, ranking
+    # self-matches above genuinely negative neighbors.
+    ki = np.full(sims.shape, -(1 << 28), dtype=np.int64)
     ki[finite] = np.round(sims[finite] * 1_000_000.0).astype(np.int64)
     order = np.argsort(cids)
     cid_rank = np.empty(len(cids), dtype=np.int64)

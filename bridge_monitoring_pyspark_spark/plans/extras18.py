@@ -161,21 +161,10 @@ def _streaming_salted_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # Identical result to the unsalted stream-stream interval join — the salt
-# only reshapes partitioning — so the oracle is the same batch join.
-_SALTED_INTERVAL_SQL = """
-WITH c AS (
-  SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'
-),
-p AS (
-  SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'
-)
-SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
-       min(c.click_id) AS first_click
-FROM c JOIN p ON c.user_id = p.user_id
- AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 10 MINUTE
-GROUP BY c.user_id
-ORDER BY c.user_id
-"""
+# only reshapes partitioning — so the oracle IS the unsalted query's
+# oracle, imported rather than duplicated: if the interval-join semantics
+# ever change, both entries move together or fail together.
+from .extras4 import _INTERVAL_JOIN_SQL as _SALTED_INTERVAL_SQL  # noqa: E402
 
 
 QUERIES = [

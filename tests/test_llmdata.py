@@ -303,3 +303,27 @@ def test_knn_join_tie_safe_on_duplicate_vectors(spark):
     assert sorted(map(tuple, blocked.collect())) == sorted(
         map(tuple, exact.collect())
     )
+
+
+def test_partial_topk_sentinel_sorts_last():
+    """Regression: the -inf self-match sentinel must rank BELOW every real
+    similarity, including negative ones. An earlier sentinel (int64.min//4)
+    overflowed in the composite-key multiply and wrapped to ~0, so with
+    sims [[-inf],[-0.2],[-0.4],[-0.6]] and k=3 the cut kept the self row
+    and evicted the -0.6 neighbor."""
+    import numpy as np
+
+    from bridge_monitoring_pyspark_spark.operators.similarity import (
+        _partial_topk_rows,
+    )
+
+    sims = np.array([[-np.inf], [-0.2], [-0.4], [-0.6]])
+    cids = np.array([10, 11, 12, 13], dtype=np.int64)
+    top, take = _partial_topk_rows(sims, cids, 3)
+    assert take == 3
+    assert sorted(top[:, 0].tolist()) == [1, 2, 3]  # self row 0 excluded
+    # duplicate-tie check on the same path: equal sims cut by smaller id
+    sims2 = np.array([[0.5], [0.5], [0.5], [-np.inf]])
+    cids2 = np.array([7, 3, 5, 1], dtype=np.int64)
+    top2, take2 = _partial_topk_rows(sims2, cids2, 2)
+    assert sorted(cids2[top2[:, 0]].tolist()) == [3, 5]
