@@ -418,6 +418,7 @@ def ivf_topk(
     centroid_vec: str,
     k: int,
     n_probe: int = 3,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: corpus rows are assigned to their nearest centroid
     once; each query searches only its ``n_probe`` nearest clusters.
@@ -425,6 +426,15 @@ def ivf_topk(
     Both assignment passes are broadcast joins against the centroid table —
     the corpus never shuffles until the final per-query rank, whose input is
     already cut down by the cluster filter.
+
+    ``broadcast_queries`` controls the candidate join: True (default) is
+    the probe shape — a small query set broadcast against the assigned
+    corpus, zero corpus shuffle. Pass False for the big-query-table shape
+    ("approximate neighbors for every document"): both sides then shuffle
+    on ``cluster_id`` — a plain equi-join Catalyst can plan at any size,
+    with per-cluster skew bounded by the centroid granularity (more
+    centroids → smaller clusters; the exact-counterpart shape is
+    :func:`knn_join_blocked`).
     """
     cent = centroids.select(
         F.col(centroid_id).alias("cluster_id"), F.col(centroid_vec).alias("__centv")
@@ -455,8 +465,9 @@ def ivf_topk(
         "__qv",
         n_probe,
     )
+    probes = F.broadcast(query_probes) if broadcast_queries else query_probes
     scored = (
-        corpus_assigned.join(F.broadcast(query_probes), on="cluster_id")
+        corpus_assigned.join(probes, on="cluster_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("sim", cosine_similarity(F.col("__qv"), F.col("__cv")))
     )

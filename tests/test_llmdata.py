@@ -327,3 +327,35 @@ def test_partial_topk_sentinel_sorts_last():
     cids2 = np.array([7, 3, 5, 1], dtype=np.int64)
     top2, take2 = _partial_topk_rows(sims2, cids2, 2)
     assert sorted(cids2[top2[:, 0]].tolist()) == [3, 5]
+
+
+def test_ivf_shuffle_join_form_matches_broadcast_form(spark):
+    """broadcast_queries=False must change only the physical candidate
+    join (shuffle on cluster_id instead of broadcasting the probe side),
+    never the results — the big-query-table IVF shape."""
+    from bridge_monitoring_pyspark_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    q = e.where(F.col("vec_id") < 30)
+    cents = e.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") / 20).cast("int").alias("cid"), "embedding"
+    )
+
+    def build(bq):
+        return ivf_topk(
+            q, e, cents, query_id="vec_id", corpus_id="vec_id",
+            vec_col="embedding", centroid_id="cid", centroid_vec="embedding",
+            k=4, n_probe=2, broadcast_queries=bq,
+        )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        shuffled = build(False)
+        plan = shuffled._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert sorted(map(tuple, build(True).collect())) == sorted(
+            map(tuple, shuffled.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
