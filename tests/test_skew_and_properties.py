@@ -159,3 +159,82 @@ def test_salted_join_physical_keys_include_salt(spark):
         assert "BroadcastNestedLoopJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),   # join key (small → collisions)
+            st.integers(min_value=0, max_value=10**6),  # salt_on column
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    dim_keys=st.sets(st.integers(min_value=0, max_value=40), max_size=20),
+    buckets=st.integers(min_value=1, max_value=6),
+)
+def test_salted_join_property(spark, data, dim_keys, buckets):
+    """For ANY fact/dim contents and any bucket count, salted_join(inner
+    and left) equals the plain join exactly — including empty inputs,
+    unmatched keys, and duplicate fact keys."""
+    from bridge_monitoring_pyspark_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, s) for k, s in data] or [], "k int, salt_src int"
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in dim_keys] or [], "k int, tag string"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple, fact.join(dim, "k", how).collect()))
+        salted = sorted(
+            map(tuple, salted_join(fact, dim, "k", "salt_src", buckets, how).collect())
+        )
+        assert salted == plain, (how, buckets)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(min_value=-5, max_value=5, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    threshold=st.floats(min_value=-0.5, max_value=0.99),
+    n_blocks=st.integers(min_value=1, max_value=5),
+)
+def test_blocked_pairs_property(spark, vecs, threshold, n_blocks):
+    """For ANY vector set (including zero vectors, duplicates and empty
+    input), the blocked all-pairs search equals the broadcast form — every
+    unordered pair is computed exactly once regardless of block count."""
+    from bridge_monitoring_pyspark_spark.operators.similarity import (
+        cosine_pairs_arrow,
+        cosine_pairs_blocked,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)] or [], "id long, vec array<float>"
+    )
+    blocked = sorted(
+        map(tuple, cosine_pairs_blocked(df, "id", "vec", threshold, n_blocks).collect())
+    )
+    if not vecs:
+        assert blocked == []
+        return
+    arrow = sorted(
+        map(tuple, cosine_pairs_arrow(df, "id", "vec", threshold).collect())
+    )
+    assert blocked == arrow
