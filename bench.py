@@ -99,9 +99,9 @@ def main() -> None:
         f.write(json.dumps(full) + "\n")
 
     # stdout gets a bounded summary derived from the full payload: headline
-    # numbers + the 10 slowest queries + up to 5 error names. ~165 timings
-    # would be ~5 KB, which overflows the consumer's stdout tail and breaks
-    # its JSON parse.
+    # numbers + the 10 slowest queries + up to 5 error names. The full
+    # per-query timings dict (~30 bytes/query, >5 KB for the whole catalog)
+    # overflows the consumer's stdout tail and breaks its JSON parse.
     summary = {
         **full,
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10]),

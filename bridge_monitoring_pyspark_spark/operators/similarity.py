@@ -60,8 +60,11 @@ def _partial_topk_rows(sims: np.ndarray, cids: np.ndarray, k: int):
     bit-for-bit, and a partial cut that keeps the larger id would diverge
     from the merge/oracle tie-break. The composite integer key (rounded
     micro-units × 2^34 − dense id rank) makes the cut vectorized AND
-    deterministic; −inf self-match sentinels map to int64 min so they sort
-    last. Returns (row_indices shaped (take, n_queries), take).
+    deterministic; −inf self-match sentinels map to −2^28 micro-units —
+    far below any real rounded sim yet safe under the 2^34 multiply (do
+    NOT "simplify" to int64 min: that overflows the composite to ~0 and
+    ranks self-matches above negative neighbors). Returns
+    (row_indices shaped (take, n_queries), take).
     """
     finite = np.isfinite(sims)
     # Sentinel must survive the * (1 << 34) below without int64 overflow:
