@@ -78,6 +78,12 @@ def salted_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join preserves fact rows only; how={how!r}")
+    clash = [side for side, df in (("fact", fact), ("dim", dim)) if "__salt" in df.columns]
+    if clash:
+        raise ValueError(
+            f"salted_join: '__salt' already present on {clash}; it would be "
+            "silently overwritten and dropped from the output"
+        )
     salt = F.pmod(F.xxhash64(F.col(salt_on)), F.lit(buckets)).cast("int")
     fact_s = fact.withColumn("__salt", salt)
     dim_s = dim.withColumn(

@@ -73,7 +73,13 @@ def _partial_topk_rows(sims: np.ndarray, cids: np.ndarray, k: int):
     # overflowed and wrapped the sentinel's composite to ~0, ranking
     # self-matches above genuinely negative neighbors.
     ki = np.full(sims.shape, -(1 << 28), dtype=np.int64)
-    ki[finite] = np.round(sims[finite] * 1_000_000.0).astype(np.int64)
+    # Quantize half-AWAY-FROM-ZERO, matching the merge's F.round(sim, 6)
+    # (java HALF_UP) and the DuckDB oracle's round(): np.round is
+    # half-to-even, so a sim landing exactly on a .5 micro-unit boundary
+    # could be cut here yet ranked k-th by the merge. floor(|x|+0.5) with
+    # the sign restored reproduces the half-up rule for both signs.
+    fin = sims[finite] * 1_000_000.0
+    ki[finite] = (np.sign(fin) * np.floor(np.abs(fin) + 0.5)).astype(np.int64)
     order = np.argsort(cids)
     cid_rank = np.empty(len(cids), dtype=np.int64)
     cid_rank[order] = np.arange(len(cids))

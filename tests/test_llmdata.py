@@ -329,6 +329,33 @@ def test_partial_topk_sentinel_sorts_last():
     assert sorted(cids2[top2[:, 0]].tolist()) == [3, 5]
 
 
+def test_partial_topk_rounds_half_away_from_zero():
+    """The partial cut must quantize with the SAME rounding rule as the
+    global merge (F.round, java HALF_UP = half away from zero) and the
+    DuckDB oracle. np.round is half-to-even: at an exact .5 micro-unit
+    boundary it would rank 2.5e-6 (→2) below 3.0e-6 (→3), while the merge
+    rounds 2.5e-6 →3 and tie-breaks to the smaller id. Both boundary
+    values round-trip exactly through the *1e6 quantize in float64."""
+    import numpy as np
+
+    from bridge_monitoring_pyspark_spark.operators.similarity import (
+        _partial_topk_rows,
+    )
+
+    assert 2.5e-6 * 1_000_000.0 == 2.5  # boundary is exact, test is valid
+    sims = np.array([[2.5e-6], [3.0e-6]])
+    cids = np.array([1, 9], dtype=np.int64)  # boundary row has smaller id
+    top, take = _partial_topk_rows(sims, cids, 1)
+    assert take == 1
+    assert cids[top[0, 0]] == 1  # half-up ties 2.5e-6 with 3.0e-6; id wins
+    # negative side: -2.5e-6 must quantize to -3 (away from zero), so it
+    # ranks BELOW -2.9e-6 (→ -3, larger id loses the tie), not above it
+    sims_n = np.array([[-2.5e-6], [-2.0e-6]])
+    cids_n = np.array([4, 2], dtype=np.int64)
+    top_n, _ = _partial_topk_rows(sims_n, cids_n, 1)
+    assert cids_n[top_n[0, 0]] == 2  # -2.0 (→ -2) beats -2.5 (→ -3)
+
+
 def test_ivf_shuffle_join_form_matches_broadcast_form(spark):
     """broadcast_queries=False must change only the physical candidate
     join (shuffle on cluster_id instead of broadcasting the probe side),

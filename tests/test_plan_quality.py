@@ -159,7 +159,7 @@ def test_no_row_at_a_time_python_udfs(spark):
     df = CATALOG["udtf_char_chunks"].build(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPythonUDTF" in plan
-    assert "BatchEvalPython " not in plan.replace("BatchEvalPythonUDTF", "")
+    assert "BatchEvalPython" not in plan.replace("BatchEvalPythonUDTF", "")
     for name in (
         "multimodal_features",
         "multimodal_resize",

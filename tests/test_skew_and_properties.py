@@ -142,6 +142,24 @@ def test_salted_join_equals_plain_join(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_salted_join_rejects_existing_salt_column(spark):
+    """A pre-existing __salt column on either side must be a loud error —
+    the operator would otherwise overwrite it and silently drop it from
+    the output."""
+    import pytest
+
+    from bridge_monitoring_pyspark_spark.operators.joins import salted_join
+
+    fact = spark.createDataFrame([(1, 10, 0)], "k int, v int, __salt int")
+    dim = spark.createDataFrame([(1, "a")], "k int, tag string")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(fact, dim, "k", salt_on="v", buckets=4)
+    clean_fact = fact.drop("__salt")
+    dirty_dim = dim.withColumn("__salt", dim.k)
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(clean_fact, dirty_dim, "k", salt_on="v", buckets=4)
+
+
 def test_salted_join_physical_keys_include_salt(spark):
     """The witness only means something if the shuffle actually partitions
     on (key, salt): with broadcast off, the join must be a shuffle join
