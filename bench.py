@@ -4,7 +4,8 @@ Prints ONE JSON line (kept well under 2000 chars — the harness that records
 it captures only a bounded stdout tail, so the per-query timings dict lives
 in BENCH.json, not on stdout):
   {"metric": "catalog_suite", "value": <total sec>, "unit": "sec",
-   "sf": <sf>, "n_queries": N, "n_errors": N, "queries": {top-10 slowest}}
+   "sf": <sf>, "n_queries": N, "n_errors": N,
+   "mean_sec_per_query": <sec>, "queries": {top-10 slowest}}
 
 The full payload — every per-query timing plus the error map — is written
 to BENCH.json next to this file. On fatal failure (session/catalog init
@@ -89,6 +90,10 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": len(errors),
+        # catalog growth vs engine slowdown must be separable round-over-
+        # round: a bigger total with a flat mean is new witnesses, not a
+        # regression (VERDICT r4 "what's wrong" #2)
+        "mean_sec_per_query": round(total / len(timings), 3) if timings and not fatal else None,
         "queries": timings,
     }
     if errors:

@@ -231,17 +231,18 @@ def cosine_pairs_blocked(
     )
 
 
-def cosine_pairs_arrow(
+def _cosine_pairs_smallside_verifier(
     vectors: DataFrame, id_col: str, vec_col: str, threshold: float
 ) -> DataFrame:
     """All (a < b) pairs with cosine >= threshold, via broadcast numpy.
 
     The full normalized matrix is broadcast; each Arrow batch matmuls
     against it and emits only above-threshold pairs with a < b. **Driver
-    memory is O(N)** — this form is only for a small side (it is the exact
-    verifier LSH/IVF candidate generators feed, and what pytest replays);
-    the production all-pairs path is :func:`cosine_pairs_blocked`, which
-    never materializes the table anywhere.
+    memory is O(N)** — underscore-private on purpose: this form exists
+    only as the small-side exact verifier pytest replays against the
+    production paths. Catalog/plan code must use
+    :func:`cosine_pairs_blocked`, which never materializes the table
+    anywhere (tests/test_plan_quality.py pins the import boundary).
     """
     all_ids, all_mat = _normalized_matrix(
         vectors.select(id_col, vec_col).collect()

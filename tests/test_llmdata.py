@@ -186,7 +186,7 @@ def test_blocked_pairs_equal_broadcast_pairs(spark):
     verifier form — blocked is the production path, arrow the small-side
     verifier, and they must never disagree."""
     from bridge_monitoring_pyspark_spark.operators.similarity import (
-        cosine_pairs_arrow,
+        _cosine_pairs_smallside_verifier,
         cosine_pairs_blocked,
     )
 
@@ -197,7 +197,7 @@ def test_blocked_pairs_equal_broadcast_pairs(spark):
     }
     arrow = {
         (r.vec_a, r.vec_b, r.cosine_sim)
-        for r in cosine_pairs_arrow(e, "vec_id", "embedding", 0.35).collect()
+        for r in _cosine_pairs_smallside_verifier(e, "vec_id", "embedding", 0.35).collect()
     }
     assert blocked == arrow
     assert len(blocked) > 0

@@ -174,6 +174,22 @@ def test_no_row_at_a_time_python_udfs(spark):
         assert "BatchEvalPython" not in plan, f"{name} plans a row-at-a-time UDF"
 
 
+def test_smallside_verifier_not_used_by_plans():
+    """The O(N)-driver broadcast all-pairs form is a test-only verifier:
+    no module under plans/ (the catalog surface) may reference it — the
+    production path is cosine_pairs_blocked. Import boundary, not just a
+    docstring warning."""
+    import pathlib
+
+    import bridge_monitoring_pyspark_spark.plans as plans_pkg
+
+    plans_dir = pathlib.Path(plans_pkg.__file__).parent
+    for py in plans_dir.glob("*.py"):
+        src = py.read_text()
+        assert "_cosine_pairs_smallside_verifier" not in src, py.name
+        assert "cosine_pairs_arrow" not in src, py.name
+
+
 def test_neardup_pairs_build_never_touches_driver(spark, monkeypatch):
     """neardup_embedding_pairs must plan without any driver-side
     materialization — the round-2/3 scale-killer was a full-table

@@ -239,7 +239,7 @@ def test_blocked_pairs_property(spark, vecs, threshold, n_blocks):
     input), the blocked all-pairs search equals the broadcast form — every
     unordered pair is computed exactly once regardless of block count."""
     from bridge_monitoring_pyspark_spark.operators.similarity import (
-        cosine_pairs_arrow,
+        _cosine_pairs_smallside_verifier,
         cosine_pairs_blocked,
     )
 
@@ -253,6 +253,6 @@ def test_blocked_pairs_property(spark, vecs, threshold, n_blocks):
         assert blocked == []
         return
     arrow = sorted(
-        map(tuple, cosine_pairs_arrow(df, "id", "vec", threshold).collect())
+        map(tuple, _cosine_pairs_smallside_verifier(df, "id", "vec", threshold).collect())
     )
     assert blocked == arrow
