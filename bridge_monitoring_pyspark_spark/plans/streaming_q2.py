@@ -270,3 +270,121 @@ QUERIES.append(
     Query("streaming_session_window", _streaming_session_window,
           _SESSION_STREAM_SQL, ("streaming", "session_window", "T2"))
 )
+
+
+_SESS_TO_GAP_US = 86_400_000_000  # 24 h session gap
+_SESS_TO_FILES = 3  # source split → 3 deterministic micro-batches
+
+
+def _streaming_session_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time TIMERS on arbitrary state (GroupStateTimeout.EventTimeTimeout
+    — the eviction facility streaming_stateful_dedup doesn't touch): per-user
+    sessions flush either when a later event arrives past the 24 h gap or
+    when the key goes idle and the watermark passes session_end + gap, at
+    which point the timer fires and the RocksDB state row is REMOVED — the
+    pattern that keeps state bounded over a 100 TB unbounded keyspace.
+
+    The events table is re-written as 3 time-ranged files drained with
+    maxFilesPerTrigger=1, so sessions genuinely span micro-batches and
+    timers genuinely fire mid-stream (idle keys flush while other keys'
+    files advance the watermark). The emitted row set is still
+    batching-independent — gap-flush and timer-flush produce the same row,
+    whichever fires first — so the DuckDB oracle needs only the data:
+    emit a session iff the key has a later session OR the final watermark
+    (ms-floored global max event time) strictly passed its ms-floored
+    timeout, replaying Spark's millisecond timer clock exactly.
+    """
+    import glob
+    import os
+    import shutil
+
+    from ..sources.readers import load_table
+    from ..streaming.jobs import _NTZ_AS_UTC
+    from ..streaming.stateful import streaming_sessionize_timeout
+
+    out = tempfile.mkdtemp(prefix="eng_sess_to_")
+    src = os.path.join(out, "src")
+    os.makedirs(src)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.expr(_NTZ_AS_UTC))
+        .select("user_id", "ts", F.unix_micros(F.col("ts")).alias("us"))
+    )
+    bounds = ev.agg(
+        F.min("us").alias("lo"), (F.max("us") + F.lit(1)).alias("hi")
+    )
+    ranged = ev.crossJoin(F.broadcast(bounds)).withColumn(
+        "bi",
+        F.least(
+            F.lit(_SESS_TO_FILES - 1),
+            F.floor(
+                (F.col("us") - F.col("lo"))
+                * _SESS_TO_FILES
+                / (F.col("hi") - F.col("lo"))
+            ),
+        ),
+    )
+    # one job writes all time-range files (vs 6 filtered re-scans); each
+    # bi=i dir's parts then become the i-th micro-batch via mod-time order
+    stage = os.path.join(out, "stage")
+    ranged.select("user_id", "ts", "us", "bi").repartition(
+        _SESS_TO_FILES, "bi"
+    ).write.partitionBy("bi").mode("overwrite").parquet(stage)
+    for i in range(_SESS_TO_FILES):
+        parts = sorted(glob.glob(os.path.join(stage, f"bi={i}", "part-*.parquet")))
+        for j, part in enumerate(parts):
+            dst = os.path.join(src, f"b{i:02d}_{j:02d}.parquet")
+            shutil.move(part, dst)
+            os.utime(dst, (1_700_000_000 + 10 * i + j,) * 2)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, us long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sess = streaming_sessionize_timeout(
+        stream.withWatermark("ts", "0 seconds"), "user_id", "us", _SESS_TO_GAP_US
+    )
+    with _stream_shuffle_partitions(spark, 8):
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", out + "/sess")
+            .option("checkpointLocation", out + "/_chk")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
+    return spark.read.parquet(out + "/sess")
+
+
+_SESSION_TIMEOUT_SQL = """
+WITH pts AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+), marked AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > 86400000000 THEN 1 ELSE 0 END AS new_sess
+  FROM pts
+), grp AS (
+  SELECT user_id, us,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), sess AS (
+  SELECT user_id, sid,
+         min(us) AS session_start_us, max(us) AS session_end_us,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM grp GROUP BY user_id, sid
+), flagged AS (
+  SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM sess
+)
+SELECT user_id, session_start_us, session_end_us, n_events
+FROM flagged, (SELECT max(us) // 1000 AS wm_ms FROM pts) wm
+WHERE sid < max_sid OR (session_end_us + 86400000000) // 1000 < wm_ms
+"""
+
+QUERIES.append(
+    Query("streaming_session_timeout_flush", _streaming_session_timeout_flush,
+          _SESSION_TIMEOUT_SQL,
+          ("streaming", "stateful", "event_time_timeout", "state_eviction"))
+)

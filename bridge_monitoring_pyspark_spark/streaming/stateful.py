@@ -18,6 +18,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -57,4 +58,91 @@ def streaming_keep_first(
         stateStructType="seen array<string>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_sessionize_timeout(
+    stream: DataFrame, key_col: str, us_col: str, gap_us: int
+) -> DataFrame:
+    """Per-key sessionization with **event-time timers** (the state-eviction
+    facility `streaming_keep_first` doesn't exercise): events whose gap
+    exceeds ``gap_us`` start a new session; a completed session is emitted
+    when (a) a later event for the key arrives past the gap, or (b) the
+    key goes idle and the watermark passes session_end + gap — then the
+    timer fires with an empty input iterator and the state is removed.
+    This is THE unbounded-keyspace pattern at 100 TB: without (b), every
+    key that ever appeared holds RocksDB state forever.
+
+    Timestamps are carried as epoch **microseconds** (``us_col``, int64) so
+    the Python worker never touches tz-sensitive datetime objects; the
+    caller must still provide a watermarked proper-TIMESTAMP column for the
+    engine's timer clock. Spark's watermark/timer clock is **millisecond**-
+    floored, so the timer registers at ``(end_us + gap_us) // 1000`` and
+    fires strictly after the watermark passes it — the DuckDB oracle
+    replays exactly this flooring (see plans/streaming_q2.py).
+
+    Output is batching-independent under an availableNow drain: whichever
+    of (a)/(b) happens first emits the same session row once, so the
+    oracle needs no knowledge of file/micro-batch boundaries.
+    """
+
+    def sessionize(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        def emit(rows: list[tuple[int, int, int]]) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    key_col: np.full(len(rows), key[0], dtype=np.int64),
+                    "session_start_us": np.array([r[0] for r in rows], dtype=np.int64),
+                    "session_end_us": np.array([r[1] for r in rows], dtype=np.int64),
+                    "n_events": np.array([r[2] for r in rows], dtype=np.int64),
+                }
+            )
+
+        if state.hasTimedOut:
+            s, e, n = state.get
+            state.remove()
+            yield emit([(int(s), int(e), int(n))])
+            return
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        us = np.sort(
+            np.concatenate([c[us_col].to_numpy(dtype=np.int64) for c in chunks])
+        )
+        # segment boundaries where the in-batch gap exceeds gap_us (strict >,
+        # mirrored by the oracle's `diff > gap`)
+        cuts = np.flatnonzero(np.diff(us) > gap_us) + 1
+        bounds = np.concatenate(([0], cuts, [len(us)]))
+        segs = [
+            (int(us[a]), int(us[b - 1]), int(b - a))
+            for a, b in zip(bounds[:-1], bounds[1:])
+        ]
+        flushed: list[tuple[int, int, int]] = []
+        if state.exists:
+            s, e, n = (int(v) for v in state.get)
+            if segs[0][0] - e <= gap_us:  # batch continues the open session
+                segs[0] = (s, segs[0][1], n + segs[0][2])
+            else:
+                flushed.append((s, e, n))
+        *done, last = segs
+        flushed.extend(done)
+        state.update(last)
+        # ms-floored event-time timer; always > current watermark because
+        # every event in this batch is newer than the previous batch's max
+        state.setTimeoutTimestamp((last[1] + gap_us) // 1000)
+        if flushed:
+            yield emit(flushed)
+
+    return stream.groupBy(key_col).applyInPandasWithState(
+        sessionize,
+        outputStructType=(
+            f"{key_col} bigint, session_start_us bigint, "
+            "session_end_us bigint, n_events bigint"
+        ),
+        stateStructType="s bigint, e bigint, n bigint",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -158,3 +158,69 @@ def test_streaming_session_window_matches_batch_closed_sessions(spark):
     assert emitted == closed
     # something must be withheld too, or the watermark test is vacuous
     assert len(batch) > len(closed)
+
+
+def test_sessionize_timer_evicts_idle_key(spark, tmp_path):
+    """Direct witness that EventTimeTimeout timers fire: key 1 is active
+    only in batch 0, then idle; key 2's later files advance the watermark
+    past key 1's session_end + gap, so key 1's session must flush via the
+    TIMER (no later key-1 event exists to gap-flush it) and its state row
+    must be evicted. Key 2's sessions also prove cross-batch continuation:
+    its batch-0 and batch-1 events are within the gap and must merge into
+    ONE session spanning the micro-batch boundary."""
+    import os
+
+    from bridge_monitoring_pyspark_spark.streaming.stateful import (
+        streaming_sessionize_timeout,
+    )
+
+    h = 3_600_000_000  # 1h in us
+    gap = 2 * h
+    # batch files: (key, us). key 1: one session in batch 0 only.
+    # key 2: events in batches 0 and 1 within the gap (one merged session),
+    # then a far-later event in batch 2 (gap-flushes the merged session).
+    batches = [
+        [(1, 1 * h), (1, 2 * h), (2, 3 * h)],
+        [(2, 4 * h)],  # continues key 2's session (gap 1h < 2h)
+        [(2, 40 * h)],  # watermark → 40h; key 1 timer (4h) + key 2 gap both fire
+    ]
+    src = tmp_path / "src"
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "user_id long, us long").select(
+            "user_id", F.timestamp_micros(F.col("us")).alias("ts"), "us"
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / f"stage{i}"))
+        import glob as g
+        import shutil
+
+        part = g.glob(str(tmp_path / f"stage{i}" / "part-*.parquet"))[0]
+        dst = str(src / f"b{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i,) * 2)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, us long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    sess = streaming_sessionize_timeout(
+        stream.withWatermark("ts", "0 seconds"), "user_id", "us", gap
+    )
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {
+        (1, 1 * h, 2 * h, 2),  # timer-flushed: key 1 never saw another event
+        (2, 3 * h, 4 * h, 2),  # gap-flushed, spans batches 0-1 (continuation)
+        # key 2's final session (40h) stays open: wm == its end, timer unfired
+    }
