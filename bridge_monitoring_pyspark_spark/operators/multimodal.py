@@ -5,11 +5,12 @@ metadata struct; decode / feature-extraction runs as ``mapInPandas`` over
 Arrow batches, so payload bytes move columnar-batched (never row-pickled)
 and the Python stage parallelizes per partition.
 
-The decode step itself is STUBBED: the real image/audio libraries are not
-in this container, so :func:`extract_features` computes deterministic
-byte-level features (and the place where PIL/ffmpeg would slot in raises
-``NotImplementedError``). The Spark-side plumbing — schema, batching,
-partitioning, UDF signature — is real and tested.
+The decode slot is REAL for PNM images (P6 RGB / P5 grayscale) via a
+dependency-free parser — :func:`decode_media` returns width/height/pixel
+array for ``image/x-portable-pixmap`` / ``-graymap`` and the
+``multimodal_decode_ppm`` catalog entry oracle-checks decoded pixel
+statistics end-to-end. Formats needing PIL/librosa/ffmpeg (not in this
+container) still raise ``NotImplementedError`` from the same slot.
 
 Scale notes: binary payloads dominate row width; keep
 ``spark.sql.files.maxPartitionBytes`` at its default 128 MB so tasks stay
@@ -44,10 +45,122 @@ def with_binary_payload(df: DataFrame, text_col: str, mime: str = "text/plain") 
     )
 
 
+_PNM_WS = b" \t\r\n\x0b\x0c"
+
+
+def _pnm_parse_header(buf: bytes) -> tuple[bytes, int, int, int, int]:
+    """Parse a PNM (P6/P5) header — whitespace- and ``#``-comment-tolerant
+    per the netpbm format spec — returning (magic, width, height, maxval,
+    raster_offset). Exactly one whitespace byte separates maxval from the
+    raster."""
+    tokens: list[bytes] = []
+    i, n = 0, len(buf)
+    while len(tokens) < 4 and i < n:
+        c = buf[i : i + 1]
+        if c in _PNM_WS:
+            i += 1
+        elif c == b"#":
+            j = buf.find(b"\n", i)
+            i = n if j == -1 else j + 1
+        else:
+            j = i
+            while j < n and buf[j : j + 1] not in _PNM_WS and buf[j : j + 1] != b"#":
+                j += 1
+            tokens.append(buf[i:j])
+            i = j
+    if len(tokens) < 4 or i >= n:
+        raise ValueError("truncated PNM header")
+    return tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3]), i + 1
+
+
 def decode_media(payload: bytes, mime: str) -> object:
-    """Where PIL/librosa/ffmpeg would decode the payload. Stubbed: the
-    container has no media libraries (see module docstring)."""
+    """Decode a media payload. REAL for 8-bit PNM images (P6 RGB, P5
+    grayscale) — dependency-free parse to ``{width, height, channels,
+    pixels: np.ndarray(h, w, c)}``. Other formats need PIL/librosa/ffmpeg,
+    which this container doesn't ship, and raise from this same slot."""
+    if mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
+        import numpy as np
+
+        magic, w, h, maxval, off = _pnm_parse_header(payload)
+        channels = {b"P6": 3, b"P5": 1}.get(magic)
+        if channels is None:
+            raise ValueError(f"unsupported PNM magic: {magic!r}")
+        if not 0 < maxval < 256:
+            raise ValueError(f"only 8-bit PNM supported, maxval={maxval}")
+        if w <= 0 or h <= 0:
+            raise ValueError(f"bad PNM dimensions {w}x{h}")
+        raster = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels, offset=off)
+        return {
+            "width": w,
+            "height": h,
+            "channels": channels,
+            "pixels": raster.reshape(h, w, channels),
+        }
     raise NotImplementedError(f"no decoder available for {mime} in this environment")
+
+
+def synth_ppm(doc_id: int) -> bytes:
+    """Deterministic P6 fixture image for ``doc_id``: width 4 + id%5,
+    height 3 + id%4, pixel byte i = (id*7 + i*13) % 256 — closed-form so a
+    SQL oracle can replay the decoded statistics exactly. Includes a
+    comment line so the production header path (not a toy subset) is what
+    gets exercised."""
+    import numpy as np
+
+    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+    i = np.arange(w * h * 3, dtype=np.int64)
+    pix = ((doc_id * 7 + i * 13) % 256).astype(np.uint8)
+    return f"P6\n# synth {doc_id}\n{w} {h}\n255\n".encode() + pix.tobytes()
+
+
+def with_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the :func:`synth_ppm` fixture image as a binary payload
+    column via an Arrow batch pass (same plumbing a binaryFile read of
+    real images would feed)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [synth_ppm(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, "doc_id long, payload binary")
+
+
+DECODE_STATS_SCHEMA = (
+    "doc_id long, width int, height int, r_sum long, g_sum long, b_sum long"
+)
+
+
+def decode_image_stats(
+    df: DataFrame, mime: str = "image/x-portable-pixmap"
+) -> DataFrame:
+    """Arrow-batched real decode: :func:`decode_media` each payload and
+    emit width/height plus exact per-channel pixel sums (integers, so the
+    oracle compare is exact — no float rounding anywhere).
+
+    Scale notes: decode is the payload-width reducer — output rows are a
+    few longs regardless of image size, so everything downstream shuffles
+    cheap; the payload column never leaves this stage."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_media(bytes(payload), mime)
+                px = img["pixels"].astype(np.int64)
+                out["doc_id"].append(doc_id)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                for c, k in enumerate(("r_sum", "g_sum", "b_sum")):
+                    out[k].append(int(px[:, :, min(c, img["channels"] - 1)].sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "payload").mapInPandas(batches, DECODE_STATS_SCHEMA)
 
 
 def extract_features(df: DataFrame) -> DataFrame:

@@ -389,3 +389,40 @@ QUERIES = [
     Query("multimodal_resize", _multimodal_resize, _RESIZE_SQL,
           ("llm", "multimodal", "resize")),
 ]
+
+
+def _multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode through the multimodal slot: a deterministic P6
+    (PPM) fixture image per document is attached as a binary payload, then
+    operators/multimodal.decode_media parses the header (magic, comment,
+    dims, maxval) and raster, and the stats stage emits width/height plus
+    exact per-channel pixel sums. Two chained Arrow stages, no shuffle
+    until the final group-free projection; the payload bytes never leave
+    the decode stage. The oracle replays the closed-form pixel function
+    ((doc_id*7 + i*13) % 256) with unnest(generate_series(...))."""
+    from ..operators.multimodal import decode_image_stats, with_ppm_payload
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_image_stats(with_ppm_payload(d)).orderBy("doc_id")
+
+
+_DECODE_PPM_SQL = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, w*h*3 - 1)) AS i
+  FROM dims
+)
+SELECT doc_id, CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+       CAST(sum(CASE WHEN i % 3 = 0 THEN (doc_id*7 + i*13) % 256 END) AS BIGINT) AS r_sum,
+       CAST(sum(CASE WHEN i % 3 = 1 THEN (doc_id*7 + i*13) % 256 END) AS BIGINT) AS g_sum,
+       CAST(sum(CASE WHEN i % 3 = 2 THEN (doc_id*7 + i*13) % 256 END) AS BIGINT) AS b_sum
+FROM px GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+QUERIES.append(
+    Query("multimodal_decode_ppm", _multimodal_decode_ppm, _DECODE_PPM_SQL,
+          ("llm", "multimodal", "decode"))
+)

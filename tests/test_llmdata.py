@@ -171,13 +171,50 @@ def test_multimodal_plumbing(spark):
         assert r.mime == "text/plain"
 
 
-def test_decode_media_is_stubbed():
+def test_decode_media_png_still_stubbed():
+    """Formats needing PIL/ffmpeg (absent in this container) must keep
+    raising from the decode slot."""
     import pytest
 
     from bridge_monitoring_pyspark_spark.operators.multimodal import decode_media
 
     with pytest.raises(NotImplementedError):
         decode_media(b"\x89PNG", "image/png")
+
+
+def test_decode_media_pnm_real():
+    """The PNM decoder is real: P6 round-trip (dims, channel planes),
+    comment + whitespace tolerance, P5 grayscale, and loud failures on
+    truncation and 16-bit maxval."""
+    import numpy as np
+    import pytest
+
+    from bridge_monitoring_pyspark_spark.operators.multimodal import (
+        decode_media,
+        synth_ppm,
+    )
+
+    img = decode_media(synth_ppm(7), "image/x-portable-pixmap")
+    w, h = 4 + 7 % 5, 3 + 7 % 4
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+    i = np.arange(w * h * 3, dtype=np.int64)
+    expected = ((7 * 7 + i * 13) % 256).reshape(h, w, 3)
+    assert (img["pixels"] == expected).all()
+
+    # comment mid-header, CRLF whitespace, P5 grayscale
+    p5 = b"P5 # c1\n# c2\n2\r\n2\t255\n" + bytes([9, 8, 7, 6])
+    g = decode_media(p5, "image/x-portable-graymap")
+    assert (g["width"], g["height"], g["channels"]) == (2, 2, 1)
+    assert g["pixels"].reshape(-1).tolist() == [9, 8, 7, 6]
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_media(b"P6\n2 2\n", "image/x-portable-pixmap")
+    with pytest.raises(ValueError):  # raster shorter than w*h*3
+        decode_media(b"P6\n2 2\n255\n\x00\x01", "image/x-portable-pixmap")
+    with pytest.raises(ValueError, match="8-bit"):
+        decode_media(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00", "image/x-portable-pixmap")
+    with pytest.raises(ValueError, match="magic"):
+        decode_media(b"P3\n1 1\n255\n1 2 3", "image/x-portable-pixmap")
 
 
 def test_blocked_pairs_equal_broadcast_pairs(spark):
