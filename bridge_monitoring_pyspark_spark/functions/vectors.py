@@ -32,3 +32,18 @@ def l2_norm(a: Column) -> Column:
 
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_similarity_prenorm(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with per-row precomputed L2 norms.
+
+    In a scored join each input row meets many partners; evaluating
+    ``cosine_similarity`` per pair recomputes both norms every time — three
+    zip_with/aggregate traversals per pair. Hoisting ``l2_norm`` to a
+    per-row column *before* the join leaves one traversal (the cross dot)
+    per pair, a ~3x cut on the pair loop's dominant cost. ``l2_norm(a)`` is
+    the same left-to-right accumulation wherever it's evaluated, so the
+    result is bitwise identical to :func:`cosine_similarity` — oracle SQL
+    needs no change.
+    """
+    return dot_product(a, b) / (norm_a * norm_b)

@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity_prenorm, l2_norm
 from ..operators.topk import top_k_per_group
 
 
@@ -394,15 +394,24 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k neighbors per query (self-matches excluded)."""
     q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        l2_norm(F.col(query_vec)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        l2_norm(F.col(corpus_vec)).alias("__cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "sim",
+            cosine_similarity_prenorm(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ),
+        )
     )
     ranked = top_k_per_group(
         scored,
@@ -447,13 +456,42 @@ def ivf_topk(
     :func:`knn_join_blocked`).
     """
     cent = centroids.select(
-        F.col(centroid_id).alias("cluster_id"), F.col(centroid_vec).alias("__centv")
+        F.col(centroid_id).alias("cluster_id"),
+        F.col(centroid_vec).alias("__centv"),
+        l2_norm(F.col(centroid_vec)).alias("__centn"),
     )
 
     def assign(df: DataFrame, id_out: str, vec_out: str, n_keep: int) -> DataFrame:
-        scored = df.crossJoin(F.broadcast(cent)).withColumn(
-            "__csim", cosine_similarity(F.col(vec_out), F.col("__centv"))
+        # Norms hoisted to one evaluation per row/centroid; the N x K pair
+        # loop then runs a single array traversal (the cross dot) per pair.
+        scored = df.withColumn("__vn", l2_norm(F.col(vec_out))).crossJoin(
+            F.broadcast(cent)
+        ).withColumn(
+            "__csim",
+            cosine_similarity_prenorm(
+                F.col(vec_out), F.col("__centv"), F.col("__vn"), F.col("__centn")
+            ),
         )
+        if n_keep == 1:
+            # The corpus-side path. A row_number window here would shuffle
+            # all N x K scored pairs (each dragging two vector payloads);
+            # max_by gets map-side partial aggregation, so the shuffle
+            # carries N pre-reduced rows instead. Measured on the sf0.1 ->
+            # sf1 decade this was the difference between x63 and ~linear
+            # (SCALING.md). Ordering matches the window form: Spark ranks
+            # NaN above any float in DESC sorts and max()/max_by() agree,
+            # so the struct (round(csim,6), -cluster_id) max is exactly the
+            # (round desc, cid asc) first row.
+            best = scored.groupBy(id_out).agg(
+                F.max_by(
+                    F.struct(F.col(vec_out), F.col("cluster_id")),
+                    F.struct(
+                        F.round("__csim", 6).alias("s"),
+                        (-F.col("cluster_id")).alias("nc"),
+                    ),
+                ).alias("__best")
+            )
+            return best.select(id_out, f"__best.{vec_out}", "__best.cluster_id")
         ranked = top_k_per_group(
             scored,
             [id_out],
@@ -475,11 +513,18 @@ def ivf_topk(
         "__qv",
         n_probe,
     )
+    corpus_assigned = corpus_assigned.withColumn("__cn", l2_norm(F.col("__cv")))
+    query_probes = query_probes.withColumn("__qn", l2_norm(F.col("__qv")))
     probes = F.broadcast(query_probes) if broadcast_queries else query_probes
     scored = (
         corpus_assigned.join(probes, on="cluster_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "sim",
+            cosine_similarity_prenorm(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ),
+        )
     )
     ranked = top_k_per_group(
         scored,
@@ -576,12 +621,25 @@ def hyperplane_lsh_topk(
     cand = cand.select(
         F.col("q.id").alias("query_id"), F.col("c.id").alias("neighbor_id")
     ).distinct()
-    qv = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"))
-    cv = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+    qv = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    cv = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
     scored = (
         cand.join(F.broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
-        .withColumn("sim", cosine_similarity(F.col("__qv"), F.col("__cv")))
+        .withColumn(
+            "sim",
+            cosine_similarity_prenorm(
+                F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+            ),
+        )
     )
     ranked = top_k_per_group(
         scored,

@@ -14,6 +14,8 @@ scale path, pytest-validated.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -316,16 +318,25 @@ ORDER BY query_id, rank
 
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 (fixed centroids = every 50th vector, 3
-    probes). Fully deterministic given the centroids, so the DuckDB oracle
-    replays the identical algorithm (nearest-centroid assignment with the
-    same round(·,6)/cluster-asc tie-break, probe filter, exact re-rank) —
-    hash-match needs no recall assumption. Recall vs brute force is
-    additionally measured in pytest."""
+    """IVF approximate top-5 (fixed centroids = every floor(sqrt(N))-th
+    vector, 3 probes). Fully deterministic given the centroids, so the
+    DuckDB oracle replays the identical algorithm (nearest-centroid
+    assignment with the same round(·,6)/cluster-asc tie-break, probe
+    filter, exact re-rank) — hash-match needs no recall assumption. Recall
+    vs brute force is additionally measured in pytest.
+
+    The centroid count is the scaling decision: K = ceil(N/stride) with
+    stride = floor(sqrt(N)) keeps K ~ sqrt(N), so assignment work is
+    N*K ~ N^1.5 — the textbook flat-IVF shape. The earlier fixed
+    every-50th rule made K proportional to N (quadratic assignment), which
+    the sf0.1 -> sf1 scale run measured as a x63.7 blowup at x10 data
+    (SCALING.md). The one eager action here is a count() for the stride —
+    a single scalar, same class as the k-means centroid fetch."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    centroids = e.where(F.col("vec_id") % 50 == 0).select(
-        (F.col("vec_id") / 50).cast("int").alias("cid"), "embedding"
+    stride = int(math.isqrt(e.count()))
+    centroids = e.where(F.col("vec_id") % stride == 0).select(
+        (F.col("vec_id") / stride).cast("int").alias("cid"), "embedding"
     )
     return ivf_topk(
         q, e, centroids,
@@ -337,11 +348,14 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Same algorithm replayed: corpus→nearest centroid (top-1 by round(csim,6)
 # desc, cid asc), query→3 probe centroids (same ordering), candidates =
 # corpus rows in a probed cluster minus self, exact top-5 re-rank with the
-# engine's tie-break. Centroids are the every-50th-vector rule, so the
-# oracle derives them from the table itself — no literals needed.
+# engine's tie-break. Centroids are the every-floor(sqrt(N))-th-vector rule
+# (K ~ sqrt(N); see _ann_ivf docstring), so the oracle derives them from
+# the table itself — no literals needed.
 _ANN_IVF_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-cent AS (SELECT CAST(vec_id // 50 AS INT) AS cid, v AS cv FROM e WHERE vec_id % 50 = 0),
+s AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS stride FROM e),
+cent AS (SELECT CAST(vec_id // (SELECT stride FROM s) AS INT) AS cid, v AS cv
+         FROM e WHERE vec_id % (SELECT stride FROM s) = 0),
 corpus_assign AS (
   SELECT vec_id AS neighbor_id, v, cid FROM (
     SELECT e.vec_id, e.v, cent.cid,

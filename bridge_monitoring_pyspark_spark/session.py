@@ -57,6 +57,12 @@ def default_configs(shuffle_partitions: int | None = None) -> dict[str, str]:
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         # Quieter local runs.
         "spark.ui.showConsoleProgress": "false",
+        # Local-mode heap. local[32] runs the driver AND all 32 task slots in
+        # one JVM; the 1g launch default is ~32 MB/task — an order of
+        # magnitude under what any real executor core gets, and enough to
+        # fail hash-aggregate spills at sf>=1. Only honored at JVM launch
+        # (first session in the process); harmless no-op afterwards.
+        "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     }
 
 

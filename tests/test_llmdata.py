@@ -423,3 +423,71 @@ def test_ivf_shuffle_join_form_matches_broadcast_form(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_prenorm_cosine_bitwise_equals_naive(spark):
+    """cosine_similarity_prenorm hoists the per-row norms out of the pair
+    loop; l2_norm's accumulation is identical wherever it's evaluated, so
+    results must be BITWISE equal to the naive form — that equality is what
+    let the round-5 IVF/LSH rewiring keep every ANN oracle untouched."""
+    from bridge_monitoring_pyspark_spark.functions.vectors import (
+        cosine_similarity,
+        cosine_similarity_prenorm,
+        l2_norm,
+    )
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    a = e.select(F.col("vec_id").alias("ai"), F.col("embedding").alias("av"))
+    b = e.select(F.col("vec_id").alias("bi"), F.col("embedding").alias("bv"))
+    pairs = a.join(b, F.col("ai") == (F.col("bi") + 7) % 500)
+    naive = pairs.select(
+        "ai", cosine_similarity(F.col("av"), F.col("bv")).alias("s")
+    )
+    pre = (
+        pairs.withColumn("na", l2_norm(F.col("av")))
+        .withColumn("nb", l2_norm(F.col("bv")))
+        .select(
+            "ai",
+            cosine_similarity_prenorm(
+                F.col("av"), F.col("bv"), F.col("na"), F.col("nb")
+            ).alias("s"),
+        )
+    )
+    got_n = {r.ai: r.s for r in naive.collect()}
+    got_p = {r.ai: r.s for r in pre.collect()}
+    assert got_n.keys() == got_p.keys() and len(got_n) == 500
+    for k in got_n:
+        # bitwise: compare raw double representations, not approx
+        assert ctypes.c_uint64.from_buffer(ctypes.c_double(got_n[k])).value == \
+            ctypes.c_uint64.from_buffer(ctypes.c_double(got_p[k])).value, k
+
+
+def test_ivf_assignment_maxby_tie_break(spark):
+    """The max_by corpus-assignment (round-5 rewrite of the N x K window)
+    must break round(csim,6) ties by cluster_id ASC, exactly like the
+    window form still used on the n_probe query side. Centroids 0 and 1
+    are identical, so every [1,0]-direction corpus row ties between them
+    and must land in cid 0; the query probes {its own cluster, cid 0} via
+    the window path — a wrong max_by tie-break (cid 1) would leave cid 0
+    empty and return no neighbors at all."""
+    from bridge_monitoring_pyspark_spark.operators.similarity import ivf_topk
+
+    e = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 0.1])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "cid int, embedding array<float>",
+    )
+    probe = ivf_topk(
+        e.where(F.col("vec_id") == 1), e, cents,
+        query_id="vec_id", corpus_id="vec_id", vec_col="embedding",
+        centroid_id="cid", centroid_vec="embedding", k=3, n_probe=2,
+    ).collect()
+    # query vec 1 probes cid 2 (sim 1) then the cid-0/1 tie -> cid 0 (asc,
+    # window path). Corpus vecs 0 and 2 tie between identical centroids
+    # 0/1 -> must sit in cid 0 (asc, max_by path). Both paths agreeing on
+    # ASC is what makes them land in the same bucket:
+    neighbors = sorted(r.neighbor_id for r in probe)
+    assert neighbors == [0, 2]

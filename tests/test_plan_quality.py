@@ -205,3 +205,18 @@ def test_neardup_pairs_build_never_touches_driver(spark, monkeypatch):
     df = CATALOG["neardup_embedding_pairs"].build(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan  # the blocked matmul stage
+
+
+def test_ivf_corpus_assignment_aggregates_not_windows(spark):
+    """The IVF corpus→centroid assignment must be a max_by aggregation
+    (map-side partial combine: the post-crossJoin shuffle carries N rows),
+    never a row_number window over the N x K scored pairs — the sf0.1→sf1
+    scale run measured that window as the dominant term of a x63.7 blowup
+    (SCALING.md, round 5). Exactly two Window nodes may remain: the n_probe
+    query-side assignment and the final per-query re-rank."""
+    df = CATALOG["ann_ivf_topk"].build(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    assert "max_by" in plan
+    # "Window [" counts real Window nodes only — WindowGroupLimit nodes are
+    # the partial/final rank-limit pushdown and are welcome.
+    assert plan.count("Window [") <= 2, plan.count("Window [")
