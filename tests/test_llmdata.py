@@ -491,3 +491,27 @@ def test_ivf_assignment_maxby_tie_break(spark):
     # ASC is what makes them land in the same bucket:
     neighbors = sorted(r.neighbor_id for r in probe)
     assert neighbors == [0, 2]
+
+
+def test_ivf_arrow_assignment_equals_sql(spark):
+    """assignment="arrow" (BLAS batches + composite-key tie-break) must
+    return exactly the rows of assignment="sql" (codegen cosine + max_by /
+    window) — same clusters, same candidates, same final ranking. This is
+    the guarantee that lets the Arrow form be the catalog default while
+    the DuckDB oracle replays the SQL algorithm."""
+    from bridge_monitoring_pyspark_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cents = e.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") / 20).cast("int").alias("cid"), "embedding"
+    )
+
+    def build(mode):
+        return ivf_topk(
+            e.where(F.col("vec_id") < 25), e, cents,
+            query_id="vec_id", corpus_id="vec_id", vec_col="embedding",
+            centroid_id="cid", centroid_vec="embedding", k=5, n_probe=3,
+            assignment=mode,
+        ).collect()
+
+    assert sorted(map(tuple, build("arrow"))) == sorted(map(tuple, build("sql")))

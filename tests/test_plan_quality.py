@@ -207,16 +207,34 @@ def test_neardup_pairs_build_never_touches_driver(spark, monkeypatch):
     assert "FlatMapGroupsInPandas" in plan  # the blocked matmul stage
 
 
-def test_ivf_corpus_assignment_aggregates_not_windows(spark):
-    """The IVF corpus→centroid assignment must be a max_by aggregation
-    (map-side partial combine: the post-crossJoin shuffle carries N rows),
-    never a row_number window over the N x K scored pairs — the sf0.1→sf1
-    scale run measured that window as the dominant term of a x63.7 blowup
-    (SCALING.md, round 5). Exactly two Window nodes may remain: the n_probe
-    query-side assignment and the final per-query re-rank."""
+def test_ivf_assignment_never_windows_nxk(spark):
+    """The IVF nearest-centroid assignment must never rank the N x K
+    scored pairs through a row_number window — the sf0.1→sf1 scale run
+    measured that window (shuffling every pair with two vector payloads)
+    as the dominant term of a x63.7 blowup (SCALING.md, round 5). The
+    catalog path assigns via Arrow matmul batches (MapInPandas — no
+    assignment shuffle at all), leaving exactly one real Window node: the
+    final per-query re-rank. The JVM-only fallback (`assignment="sql"`)
+    is pinned separately: corpus top-1 must aggregate (max_by, map-side
+    combine), allowing one more Window for the n_probe query side."""
     df = CATALOG["ann_ivf_topk"].build(spark, SF_SMOKE)
     plan = _executed_plan(df)
-    assert "max_by" in plan
+    assert "MapInPandas" in plan
     # "Window [" counts real Window nodes only — WindowGroupLimit nodes are
     # the partial/final rank-limit pushdown and are welcome.
-    assert plan.count("Window [") <= 2, plan.count("Window [")
+    assert plan.count("Window [") <= 1, plan.count("Window [")
+
+    from bridge_monitoring_pyspark_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, SF_SMOKE, "embeddings")
+    cents = e.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") / 20).cast("int").alias("cid"), "embedding"
+    )
+    sql_form = ivf_topk(
+        e.where(F.col("vec_id") < 10), e, cents,
+        query_id="vec_id", corpus_id="vec_id", vec_col="embedding",
+        centroid_id="cid", centroid_vec="embedding", k=5, assignment="sql",
+    )
+    sql_plan = _executed_plan(sql_form)
+    assert "max_by" in sql_plan
+    assert sql_plan.count("Window [") <= 2, sql_plan.count("Window [")
