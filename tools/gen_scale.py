@@ -129,19 +129,18 @@ def scale(src: str, dst: str, factor: int) -> None:
     for table in tables:
         path = os.path.join(src, f"{table}.parquet")
         t = pq.read_table(path)
+        out_path = os.path.join(dst, f"{table}.parquet")
         if table in FIXED_TABLES:
-            out = t
+            pq.write_table(t, out_path, row_group_size=1 << 20, compression="snappy")
+            n_out = len(t)
         else:
-            out = pa.concat_tables(
-                _transform_copy(table, t, c, strides) for c in range(factor)
-            )
-        pq.write_table(
-            out,
-            os.path.join(dst, f"{table}.parquet"),
-            row_group_size=1 << 20,
-            compression="snappy",
-        )
-        print(f"{table}: {len(t)} -> {len(out)} rows")
+            # stream one copy at a time: peak memory is a single copy, so
+            # --factor 100 (sf10) fits without materializing the concat
+            with pq.ParquetWriter(out_path, t.schema, compression="snappy") as w:
+                for c in range(factor):
+                    w.write_table(_transform_copy(table, t, c, strides))
+            n_out = len(t) * factor
+        print(f"{table}: {len(t)} -> {n_out} rows")
 
 
 def main() -> None:
