@@ -1,0 +1,123 @@
+"""Invariants of tools/gen_scale.py — the deterministic fixture scaler
+behind the committed sf0.1→sf1→sf10 trajectory evidence (SCALING.md).
+
+The scaling measurements are only meaningful if the transforms really are
+semantics-preserving: keys must stay unique, every foreign-key edge must
+stay closed within its copy, the document cipher must preserve within-copy
+shingle structure while killing cross-copy overlap, and the embedding
+permutation must be orthogonal. Runs on sf0.001 (6k lineitem rows) with
+factor 3 into a tmpdir — covers every transform branch in seconds.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+from gen_scale import scale  # noqa: E402
+
+SRC = "/root/testdata/sf0.001"
+FACTOR = 3
+
+
+@pytest.fixture(scope="module")
+def scaled(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("scale") / "sf_scaled")
+    scale(SRC, dst, FACTOR)
+    return dst
+
+
+def _q(sql):
+    return duckdb.sql(sql).fetchone()
+
+
+def test_row_counts_and_key_uniqueness(scaled):
+    for table, key in [
+        ("orders", "o_orderkey"),
+        ("customer", "c_custkey"),
+        ("part", "p_partkey"),
+        ("supplier", "s_suppkey"),
+        ("events", "event_id"),
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+    ]:
+        n_src = _q(f"SELECT count(*) FROM read_parquet('{SRC}/{table}.parquet')")[0]
+        n, nd = _q(
+            f"SELECT count(*), count(DISTINCT {key}) "
+            f"FROM read_parquet('{scaled}/{table}.parquet')"
+        )
+        assert n == FACTOR * n_src, table
+        assert nd == n, f"{table}: duplicate {key} after scaling"
+
+
+def test_dims_fixed(scaled):
+    for table in ("region", "nation"):
+        n_src = _q(f"SELECT count(*) FROM read_parquet('{SRC}/{table}.parquet')")[0]
+        n = _q(f"SELECT count(*) FROM read_parquet('{scaled}/{table}.parquet')")[0]
+        assert n == n_src, table
+
+
+def test_foreign_keys_closed(scaled):
+    for fact, fk, dim, pk in [
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders", "o_custkey", "customer", "c_custkey"),
+    ]:
+        dangling = _q(
+            f"SELECT count(*) FROM read_parquet('{scaled}/{fact}.parquet') f "
+            f"LEFT JOIN read_parquet('{scaled}/{dim}.parquet') d "
+            f"ON f.{fk} = d.{pk} WHERE d.{pk} IS NULL"
+        )[0]
+        assert dangling == 0, f"{fact}.{fk} -> {dim}.{pk}"
+
+
+def test_copy_zero_identical(scaled):
+    n_src = _q(f"SELECT count(*) FROM read_parquet('{SRC}/documents.parquet')")[0]
+    diff = _q(
+        f"SELECT count(*) FROM ("
+        f"SELECT * FROM read_parquet('{scaled}/documents.parquet') "
+        f"WHERE doc_id < {n_src} "
+        f"EXCEPT SELECT * FROM read_parquet('{SRC}/documents.parquet'))"
+    )[0]
+    assert diff == 0
+
+
+def test_cipher_preserves_lengths_and_dup_structure(scaled):
+    # bijective letter substitution: lengths unchanged (n_chars stays
+    # truthful) and each copy has exactly the source's exact-dup count,
+    # with zero cross-copy text collisions
+    bad_len = _q(
+        f"SELECT count(*) FILTER (len(text) <> n_chars) "
+        f"FROM read_parquet('{scaled}/documents.parquet')"
+    )[0]
+    assert bad_len == 0
+    n_src, nd_src = _q(
+        f"SELECT count(*), count(DISTINCT text) FROM read_parquet('{SRC}/documents.parquet')"
+    )
+    n, nd = _q(
+        f"SELECT count(*), count(DISTINCT text) FROM read_parquet('{scaled}/documents.parquet')"
+    )
+    assert (n - nd) == FACTOR * (n_src - nd_src), "dup count must scale linearly"
+
+
+def test_embedding_permutation_orthogonal(scaled):
+    # dimension permutation preserves every within-copy norm exactly
+    n_src = _q(f"SELECT count(*) FROM read_parquet('{SRC}/embeddings.parquet')")[0]
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{scaled}/embeddings.parquet')"
+    ).fetchall()
+    base = {vid: np.array(v, dtype=np.float64) for vid, v in rows if vid < n_src}
+    for vid, v in rows:
+        b = base[vid % n_src]
+        v = np.array(v, dtype=np.float64)
+        # the EXACT claim: same multiset of components (a permutation, not
+        # a rotation) — norm equality then follows up to summation order,
+        # so the float check is tolerance-1-ulp only
+        assert sorted(v.tolist()) == sorted(b.tolist()), vid
+        assert abs(np.linalg.norm(v) - np.linalg.norm(b)) < 1e-12, vid
