@@ -92,8 +92,13 @@ def main() -> None:
         "n_errors": len(errors),
         # catalog growth vs engine slowdown must be separable round-over-
         # round: a bigger total with a flat mean is new witnesses, not a
-        # regression (VERDICT r4 "what's wrong" #2)
-        "mean_sec_per_query": round(total / len(timings), 3) if timings and not fatal else None,
+        # regression (VERDICT r4 "what's wrong" #2). Mean over SUCCESSFUL
+        # queries' own times — dividing the suite wall clock (which
+        # includes time burned by errored queries) by the success count
+        # would inflate the mean exactly when a slow query fails.
+        "mean_sec_per_query": round(sum(timings.values()) / len(timings), 3)
+        if timings and not fatal
+        else None,
         "queries": timings,
     }
     if errors:

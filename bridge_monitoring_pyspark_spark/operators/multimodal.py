@@ -70,6 +70,11 @@ def _pnm_parse_header(buf: bytes) -> tuple[bytes, int, int, int, int]:
             i = j
     if len(tokens) < 4 or i >= n:
         raise ValueError("truncated PNM header")
+    if buf[i : i + 1] not in _PNM_WS:
+        # spec: exactly ONE whitespace byte between maxval and the raster.
+        # Without this check a '#' here would silently decode comment
+        # bytes as pixels.
+        raise ValueError("PNM maxval not followed by single whitespace")
     return tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3]), i + 1
 
 

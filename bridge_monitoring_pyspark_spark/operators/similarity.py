@@ -50,6 +50,19 @@ def _normalized_matrix(rows: list, id_idx: int = 0, vec_idx: int = 1):
     return ids, m / norms
 
 
+def _quantize_half_up(sims: np.ndarray) -> np.ndarray:
+    """Quantize similarities to int64 micro-units, rounding half AWAY FROM
+    ZERO — the one rule shared by Spark's ``F.round(sim, 6)`` (java
+    HALF_UP) and DuckDB's ``round()``. np.round is half-to-even, so a sim
+    landing exactly on a .5 micro-unit boundary would otherwise be cut
+    here yet ranked k-th by the merge. Single source of truth: both the
+    partial top-k cut and the Arrow IVF assignment call this, so the
+    rounding rule cannot drift between the cut and the merge (the bug
+    class c0e7e30 fixed)."""
+    f = sims * 1_000_000.0
+    return (np.sign(f) * np.floor(np.abs(f) + 0.5)).astype(np.int64)
+
+
 def _partial_topk_rows(sims: np.ndarray, cids: np.ndarray, k: int):
     """Per-query-column top-k row indices of ``sims`` (corpus × queries),
     cut under the engine's exact ranking order: round(sim, 6) DESC, then
@@ -73,13 +86,7 @@ def _partial_topk_rows(sims: np.ndarray, cids: np.ndarray, k: int):
     # overflowed and wrapped the sentinel's composite to ~0, ranking
     # self-matches above genuinely negative neighbors.
     ki = np.full(sims.shape, -(1 << 28), dtype=np.int64)
-    # Quantize half-AWAY-FROM-ZERO, matching the merge's F.round(sim, 6)
-    # (java HALF_UP) and the DuckDB oracle's round(): np.round is
-    # half-to-even, so a sim landing exactly on a .5 micro-unit boundary
-    # could be cut here yet ranked k-th by the merge. floor(|x|+0.5) with
-    # the sign restored reproduces the half-up rule for both signs.
-    fin = sims[finite] * 1_000_000.0
-    ki[finite] = (np.sign(fin) * np.floor(np.abs(fin) + 0.5)).astype(np.int64)
+    ki[finite] = _quantize_half_up(sims[finite])
     order = np.argsort(cids)
     cid_rank = np.empty(len(cids), dtype=np.int64)
     cid_rank[order] = np.arange(len(cids))
@@ -526,18 +533,30 @@ def ivf_topk(
         return ranked.select(id_out, vec_out, "cluster_id")
 
     if assignment == "arrow":
+        cid_type = dict(cent.dtypes)["cluster_id"]
+        if cid_type not in ("int", "bigint"):
+            raise ValueError(
+                f"assignment='arrow' needs an int/bigint centroid id "
+                f"(got {cid_type}); use assignment='sql' for other key types"
+            )
         cent_rows = cent.select("cluster_id", "__centv").collect()  # K ~ sqrt(N) rows
-        c_ids = np.array([r["cluster_id"] for r in cent_rows], dtype=np.int64)
-        c_mat = np.array([r["__centv"] for r in cent_rows], dtype=np.float64)
-        c_nrm = np.linalg.norm(c_mat, axis=1, keepdims=True)
-        c_nrm[c_nrm == 0.0] = 1.0
-        c_unit = c_mat / c_nrm
+        c_ids, c_unit = _normalized_matrix(cent_rows)
         c_order = np.argsort(c_ids)
         c_rank = np.empty(len(c_ids), dtype=np.int64)
         c_rank[c_order] = np.arange(len(c_ids))
         bc = corpus.sparkSession.sparkContext.broadcast((c_ids, c_unit, c_rank))
+        cid_np = np.int32 if cid_type == "int" else np.int64
 
         def assign_arrow(df: DataFrame, id_out: str, vec_out: str, n_keep: int) -> DataFrame:
+            # pass-through columns keep their INPUT types — hardcoding
+            # array<float> here would silently truncate array<double>
+            # vectors in the Arrow cast and break the arrow==sql contract
+            dtypes = dict(df.dtypes)
+            schema = (
+                f"{id_out} {dtypes[id_out]}, {vec_out} {dtypes[vec_out]}, "
+                f"cluster_id {cid_type}"
+            )
+
             def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 ids, unit, rank = bc.value
                 m = min(n_keep, len(ids))
@@ -550,9 +569,7 @@ def ivf_topk(
                     sims = (mat / nrm) @ unit.T  # (batch, K)
                     # identical quantize + composite key as _partial_topk_rows:
                     # round(sim,6) half-away-from-zero DESC, centroid id ASC
-                    f = sims * 1_000_000.0
-                    ki = (np.sign(f) * np.floor(np.abs(f) + 0.5)).astype(np.int64)
-                    comp = ki * (1 << 34) - rank[None, :]
+                    comp = _quantize_half_up(sims) * (1 << 34) - rank[None, :]
                     if m == 1:
                         pick = np.argmax(comp, axis=1)[:, None]
                     else:
@@ -562,13 +579,11 @@ def ivf_topk(
                         {
                             id_out: pdf[id_out].to_numpy()[reps],
                             vec_out: pdf[vec_out].iloc[reps.tolist()].to_numpy(),
-                            "cluster_id": ids[pick.ravel()].astype(np.int32),
+                            "cluster_id": ids[pick.ravel()].astype(cid_np),
                         }
                     )
 
-            return df.mapInPandas(
-                fn, f"{id_out} long, {vec_out} array<float>, cluster_id int"
-            )
+            return df.mapInPandas(fn, schema)
 
         assign = assign_arrow
 

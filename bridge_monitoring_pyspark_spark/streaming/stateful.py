@@ -84,6 +84,12 @@ def streaming_sessionize_timeout(
     Output is batching-independent under an availableNow drain: whichever
     of (a)/(b) happens first emits the same session row once, so the
     oracle needs no knowledge of file/micro-batch boundaries.
+
+    Late-but-valid events (possible whenever the caller's watermark delay
+    is nonzero) are handled by interval-merging the stored session with
+    the batch's segments rather than assuming batch events are newer than
+    the stored end; a session whose close instant is already at/behind
+    the watermark flushes immediately instead of arming a rejected timer.
     """
 
     def sessionize(
@@ -120,19 +126,36 @@ def streaming_sessionize_timeout(
             (int(us[a]), int(us[b - 1]), int(b - a))
             for a, b in zip(bounds[:-1], bounds[1:])
         ]
-        flushed: list[tuple[int, int, int]] = []
+        # Merge the stored open session as one more segment, by interval
+        # logic — NOT by assuming batch events are newer than the stored
+        # end. With a nonzero watermark delay a late-but-valid event can
+        # precede the stored session (or even land inside its span); an
+        # ordered-append merge would then produce end < start and a wrong
+        # count. Sorting by (start, end) and coalescing on the gap rule
+        # reproduces global sessionization for any arrival order.
         if state.exists:
-            s, e, n = (int(v) for v in state.get)
-            if segs[0][0] - e <= gap_us:  # batch continues the open session
-                segs[0] = (s, segs[0][1], n + segs[0][2])
+            segs.append(tuple(int(v) for v in state.get))
+            segs.sort(key=lambda t: (t[0], t[1]))
+        merged: list[tuple[int, int, int]] = [segs[0]]
+        for seg in segs[1:]:
+            m = merged[-1]
+            if seg[0] - m[1] <= gap_us:
+                merged[-1] = (m[0], max(m[1], seg[1]), m[2] + seg[2])
             else:
-                flushed.append((s, e, n))
-        *done, last = segs
-        flushed.extend(done)
-        state.update(last)
-        # ms-floored event-time timer; always > current watermark because
-        # every event in this batch is newer than the previous batch's max
-        state.setTimeoutTimestamp((last[1] + gap_us) // 1000)
+                merged.append(seg)
+        *flushed, last = merged
+        # ms-floored event-time timer. If the newest session is already
+        # closed per event time (its timer instant is at/behind the
+        # watermark — possible when the whole batch was late data), flush
+        # it now: the engine rejects timers <= watermark.
+        timer_ms = (last[1] + gap_us) // 1000
+        if timer_ms <= state.getCurrentWatermarkMs():
+            flushed.append(last)
+            if state.exists:
+                state.remove()
+        else:
+            state.update(last)
+            state.setTimeoutTimestamp(timer_ms)
         if flushed:
             yield emit(flushed)
 

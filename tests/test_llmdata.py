@@ -480,17 +480,20 @@ def test_ivf_assignment_maxby_tie_break(spark):
         [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])],
         "cid int, embedding array<float>",
     )
-    probe = ivf_topk(
-        e.where(F.col("vec_id") == 1), e, cents,
-        query_id="vec_id", corpus_id="vec_id", vec_col="embedding",
-        centroid_id="cid", centroid_vec="embedding", k=3, n_probe=2,
-    ).collect()
-    # query vec 1 probes cid 2 (sim 1) then the cid-0/1 tie -> cid 0 (asc,
-    # window path). Corpus vecs 0 and 2 tie between identical centroids
-    # 0/1 -> must sit in cid 0 (asc, max_by path). Both paths agreeing on
-    # ASC is what makes them land in the same bucket:
-    neighbors = sorted(r.neighbor_id for r in probe)
-    assert neighbors == [0, 2]
+    for mode in ("sql", "arrow"):
+        probe = ivf_topk(
+            e.where(F.col("vec_id") == 1), e, cents,
+            query_id="vec_id", corpus_id="vec_id", vec_col="embedding",
+            centroid_id="cid", centroid_vec="embedding", k=3, n_probe=2,
+            assignment=mode,
+        ).collect()
+        # query vec 1 probes cid 2 (sim 1) then the cid-0/1 tie -> cid 0
+        # (asc). Corpus vecs 0 and 2 tie between identical centroids 0/1
+        # -> must sit in cid 0 (asc). Probe and corpus agreeing on ASC is
+        # what makes them land in the same bucket — checked on BOTH the
+        # max_by/window sql path and the composite-key arrow path:
+        neighbors = sorted(r.neighbor_id for r in probe)
+        assert neighbors == [0, 2], mode
 
 
 def test_ivf_arrow_assignment_equals_sql(spark):
@@ -512,6 +515,44 @@ def test_ivf_arrow_assignment_equals_sql(spark):
             query_id="vec_id", corpus_id="vec_id", vec_col="embedding",
             centroid_id="cid", centroid_vec="embedding", k=5, n_probe=3,
             assignment=mode,
+        ).collect()
+
+    assert sorted(map(tuple, build("arrow"))) == sorted(map(tuple, build("sql")))
+
+
+def test_pnm_rejects_comment_in_place_of_raster_whitespace():
+    """The spec requires exactly ONE whitespace byte between maxval and
+    the raster; a '#' there must be rejected loudly, not decoded as
+    comment-bytes-as-pixels."""
+    import pytest
+
+    from bridge_monitoring_pyspark_spark.operators.multimodal import decode_media
+
+    bad = b"P6 2 1 255# note\n" + bytes(6)
+    with pytest.raises(ValueError, match="whitespace"):
+        decode_media(bad, "image/x-portable-pixmap")
+
+
+def test_ivf_arrow_preserves_double_vectors(spark):
+    """assignment='arrow' must not narrow pass-through vector types: on an
+    array<double> corpus the emitted schema keeps double, and results
+    equal assignment='sql' (the hardcoded array<float> schema this
+    replaces silently truncated the vectors before the final re-rank)."""
+    from bridge_monitoring_pyspark_spark.operators.similarity import ivf_topk
+
+    e = (
+        load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    cents = e.where(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") / 20).cast("int").alias("cid"), "embedding"
+    )
+
+    def build(mode):
+        return ivf_topk(
+            e.where(F.col("vec_id") < 10), e, cents,
+            query_id="vec_id", corpus_id="vec_id", vec_col="embedding",
+            centroid_id="cid", centroid_vec="embedding", k=5, assignment=mode,
         ).collect()
 
     assert sorted(map(tuple, build("arrow"))) == sorted(map(tuple, build("sql")))

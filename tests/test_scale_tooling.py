@@ -11,13 +11,14 @@ factor 3 into a tmpdir — covers every transform branch in seconds.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import duckdb
 import numpy as np
 import pytest
 
-sys.path.insert(0, "/root/repo/tools")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
 
 from gen_scale import scale  # noqa: E402
 

@@ -224,3 +224,65 @@ def test_sessionize_timer_evicts_idle_key(spark, tmp_path):
         (2, 3 * h, 4 * h, 2),  # gap-flushed, spans batches 0-1 (continuation)
         # key 2's final session (40h) stays open: wm == its end, timer unfired
     }
+
+
+def test_sessionize_merges_late_but_valid_events(spark, tmp_path):
+    """With a NONZERO watermark delay a later micro-batch may legally carry
+    events OLDER than the stored session end. The ordered-append merge
+    this replaced produced end < start and a wrong count here; the
+    interval merge must fold the late event into the open session exactly
+    as a globally-sorted sessionization would."""
+    import glob as g
+    import os
+    import shutil
+
+    from bridge_monitoring_pyspark_spark.streaming.stateful import (
+        streaming_sessionize_timeout,
+    )
+
+    h = 3_600_000_000  # 1h in us
+    gap = 2 * h
+    # batch 0: key 1 events at 4h,5h -> open session (4h,5h,2), wm = 5h-3h = 2h
+    # batch 1: LATE key-1 event at 3h (> wm 2h, so not dropped; < stored
+    #          end 5h) -> must extend the open session to (3h,5h,3)
+    # batch 2: key 2 far later -> watermark passes; key 1 flushes via timer
+    batches = [
+        [(1, 4 * h), (1, 5 * h)],
+        [(1, 3 * h)],
+        [(2, 40 * h)],
+    ]
+    src = tmp_path / "src"
+    os.makedirs(src)
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "user_id long, us long").select(
+            "user_id", F.timestamp_micros(F.col("us")).alias("ts"), "us"
+        )
+        df.coalesce(1).write.parquet(str(tmp_path / f"stage{i}"))
+        part = g.glob(str(tmp_path / f"stage{i}" / "part-*.parquet"))[0]
+        dst = str(src / f"b{i}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_700_000_000 + i,) * 2)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, us long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    sess = streaming_sessionize_timeout(
+        stream.withWatermark("ts", "3 hours"), "user_id", "us", gap
+    )
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert (1, 3 * h, 5 * h, 3) in got, got  # late event folded in, end intact
+    for _, s, e, _ in got:
+        assert s <= e, got  # the old append-merge emitted end < start
