@@ -70,11 +70,22 @@ def _pnm_parse_header(buf: bytes) -> tuple[bytes, int, int, int, int]:
             i = j
     if len(tokens) < 4 or i >= n:
         raise ValueError("truncated PNM header")
+    # Comments are legal between maxval and the raster delimiter; each runs
+    # through its newline, and the LAST consumed newline is the single
+    # whitespace that delimits the raster. Anything else in that position
+    # (e.g. a stray token) must fail loudly — without the whitespace check
+    # the raster offset would land inside arbitrary header bytes and
+    # silently decode them as pixels.
+    while buf[i : i + 1] == b"#":
+        j = buf.find(b"\n", i)
+        if j == -1:
+            raise ValueError("truncated PNM header")
+        if buf[j + 1 : j + 2] == b"#":
+            i = j + 1  # another comment follows; its newline delimits instead
+        else:
+            return tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3]), j + 1
     if buf[i : i + 1] not in _PNM_WS:
-        # spec: exactly ONE whitespace byte between maxval and the raster.
-        # Without this check a '#' here would silently decode comment
-        # bytes as pixels.
-        raise ValueError("PNM maxval not followed by single whitespace")
+        raise ValueError("PNM maxval not followed by whitespace or comment")
     return tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3]), i + 1
 
 

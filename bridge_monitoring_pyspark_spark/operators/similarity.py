@@ -42,12 +42,21 @@ from ..functions.vectors import cosine_similarity_prenorm, l2_norm
 from ..operators.topk import top_k_per_group
 
 
-def _normalized_matrix(rows: list, id_idx: int = 0, vec_idx: int = 1):
-    ids = np.array([r[id_idx] for r in rows], dtype=np.int64)
-    m = np.array([r[vec_idx] for r in rows], dtype=np.float64)
+def _normalized_batch(vectors) -> np.ndarray:
+    """Row-normalize a pandas Series of vectors to a float64 unit matrix.
+    Zero-norm rows are guarded to norm 1 (sim contribution 0) — the ONE
+    definition of the Arrow paths' zero-vector contract (the SQL paths
+    instead fail loudly under ANSI); keeping it in one place stops the
+    guard drifting between mapInPandas bodies."""
+    m = np.array(list(vectors), dtype=np.float64)
     norms = np.linalg.norm(m, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
-    return ids, m / norms
+    return m / norms
+
+
+def _normalized_matrix(rows: list, id_idx: int = 0, vec_idx: int = 1):
+    ids = np.array([r[id_idx] for r in rows], dtype=np.int64)
+    return ids, _normalized_batch(r[vec_idx] for r in rows)
 
 
 def _quantize_half_up(sims: np.ndarray) -> np.ndarray:
@@ -123,10 +132,7 @@ def cosine_topk_arrow(
             if not len(pdf):
                 continue
             cids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
-            cmat = np.array(pdf["__vec"].tolist(), dtype=np.float64)
-            cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
-            cnorm[cnorm == 0.0] = 1.0
-            sims = (cmat / cnorm) @ qmat.T  # (batch, n_queries)
+            sims = _normalized_batch(pdf["__vec"]) @ qmat.T  # (batch, n_queries)
             sims[cids[:, None] == qids[None, :]] = -np.inf  # self-match
             top, take = _partial_topk_rows(sims, cids, k)  # per query, tie-safe
             out = {
@@ -503,7 +509,12 @@ def ivf_topk(
                 F.col(vec_out), F.col("__centv"), F.col("__vn"), F.col("__centn")
             ),
         )
-        if n_keep == 1:
+        # max_by's tie-break negates cluster_id, which needs a numeric key;
+        # other key types take the (slower but type-generic) window form
+        numeric_cid = dict(cent.dtypes)["cluster_id"] in (
+            "tinyint", "smallint", "int", "bigint", "float", "double",
+        )
+        if n_keep == 1 and numeric_cid:
             # The corpus-side path. A row_number window here would shuffle
             # all N x K scored pairs (each dragging two vector payloads);
             # max_by gets map-side partial aggregation, so the shuffle
@@ -563,10 +574,7 @@ def ivf_topk(
                 for pdf in it:
                     if not len(pdf):
                         continue
-                    mat = np.array(pdf[vec_out].tolist(), dtype=np.float64)
-                    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
-                    nrm[nrm == 0.0] = 1.0
-                    sims = (mat / nrm) @ unit.T  # (batch, K)
+                    sims = _normalized_batch(pdf[vec_out]) @ unit.T  # (batch, K)
                     # identical quantize + composite key as _partial_topk_rows:
                     # round(sim,6) half-away-from-zero DESC, centroid id ASC
                     comp = _quantize_half_up(sims) * (1 << 34) - rank[None, :]

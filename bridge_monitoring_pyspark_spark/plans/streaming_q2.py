@@ -287,12 +287,13 @@ def _streaming_session_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFr
     The events table is re-written as 3 time-ranged files drained with
     maxFilesPerTrigger=1, so sessions genuinely span micro-batches and
     timers genuinely fire mid-stream (idle keys flush while other keys'
-    files advance the watermark). The emitted row set is still
-    batching-independent — gap-flush and timer-flush produce the same row,
-    whichever fires first — so the DuckDB oracle needs only the data:
-    emit a session iff the key has a later session OR the final watermark
+    files advance the watermark). The emitted row set is
+    batching-independent because the operator's emission rule is
+    watermark-pure (see streaming/stateful.py), so the DuckDB oracle
+    needs only the data: emit a session iff the final watermark
     (ms-floored global max event time) strictly passed its ms-floored
-    timeout, replaying Spark's millisecond timer clock exactly.
+    close instant ``(end + gap) // 1000`` — replaying Spark's millisecond
+    timer clock exactly.
     """
     import glob
     import os
@@ -375,12 +376,10 @@ WITH pts AS (
          min(us) AS session_start_us, max(us) AS session_end_us,
          CAST(count(*) AS BIGINT) AS n_events
   FROM grp GROUP BY user_id, sid
-), flagged AS (
-  SELECT *, max(sid) OVER (PARTITION BY user_id) AS max_sid FROM sess
 )
 SELECT user_id, session_start_us, session_end_us, n_events
-FROM flagged, (SELECT max(us) // 1000 AS wm_ms FROM pts) wm
-WHERE sid < max_sid OR (session_end_us + 86400000000) // 1000 < wm_ms
+FROM sess, (SELECT max(us) // 1000 AS wm_ms FROM pts) wm
+WHERE (session_end_us + 86400000000) // 1000 < wm_ms
 """
 
 QUERIES.append(

@@ -67,11 +67,11 @@ def streaming_sessionize_timeout(
     """Per-key sessionization with **event-time timers** (the state-eviction
     facility `streaming_keep_first` doesn't exercise): events whose gap
     exceeds ``gap_us`` start a new session; a completed session is emitted
-    when (a) a later event for the key arrives past the gap, or (b) the
-    key goes idle and the watermark passes session_end + gap — then the
-    timer fires with an empty input iterator and the state is removed.
-    This is THE unbounded-keyspace pattern at 100 TB: without (b), every
-    key that ever appeared holds RocksDB state forever.
+    once the watermark passes session_end + gap — either observed while
+    processing a later batch for the key, or via the timer firing with an
+    empty input iterator for an idle key, after which its state is
+    removed. This is THE unbounded-keyspace pattern at 100 TB: without
+    the timer, every key that ever appeared holds RocksDB state forever.
 
     Timestamps are carried as epoch **microseconds** (``us_col``, int64) so
     the Python worker never touches tz-sensitive datetime objects; the
@@ -81,15 +81,19 @@ def streaming_sessionize_timeout(
     fires strictly after the watermark passes it — the DuckDB oracle
     replays exactly this flooring (see plans/streaming_q2.py).
 
-    Output is batching-independent under an availableNow drain: whichever
-    of (a)/(b) happens first emits the same session row once, so the
-    oracle needs no knowledge of file/micro-batch boundaries.
-
-    Late-but-valid events (possible whenever the caller's watermark delay
-    is nonzero) are handled by interval-merging the stored session with
-    the batch's segments rather than assuming batch events are newer than
-    the stored end; a session whose close instant is already at/behind
-    the watermark flushes immediately instead of arming a rejected timer.
+    Output is batching-independent under an availableNow drain because the
+    emission rule is watermark-pure: a session row is emitted exactly when
+    the (ms-floored) watermark strictly passes its close instant
+    ``(end + gap) // 1000`` — never earlier. Eagerly flushing a segment
+    just because a later segment arrived (the previous design) is unsound
+    whenever the caller's watermark delay is nonzero: a late-but-valid
+    event in a later batch can still bridge into the already-emitted
+    segment. So state holds EVERY still-reachable segment (sorted,
+    gap-coalesced intervals), not just the newest: late events
+    interval-merge into whichever segment they extend. The retained
+    segment count is bounded by ``(watermark_delay + gap) / gap + 1``
+    per key — segments whose close instant the watermark has passed are
+    flushed and dropped, so state stays O(1) per key for any fixed delay.
     """
 
     def sessionize(
@@ -107,10 +111,37 @@ def streaming_sessionize_timeout(
                 }
             )
 
+        def flush_and_store(segs: list[tuple[int, int, int]]):
+            """Emit every segment whose close instant the watermark passed
+            (the engine's own timer rule, ms-floored strict); retain the
+            rest with a timer at the earliest retained close instant."""
+            wm_ms = state.getCurrentWatermarkMs()
+            done = [g for g in segs if (g[1] + gap_us) // 1000 < wm_ms]
+            keep = [g for g in segs if (g[1] + gap_us) // 1000 >= wm_ms]
+            if keep:
+                state.update(
+                    (
+                        [g[0] for g in keep],
+                        [g[1] for g in keep],
+                        [g[2] for g in keep],
+                    )
+                )
+                # min retained close instant is >= wm_ms, which
+                # setTimeoutTimestamp allows (it rejects only < watermark)
+                state.setTimeoutTimestamp(min((g[1] + gap_us) // 1000 for g in keep))
+            elif state.exists:
+                state.remove()
+            if done:
+                yield emit(done)
+
+        def stored_segments() -> list[tuple[int, int, int]]:
+            if not state.exists:
+                return []
+            ss, es, ns = state.get
+            return [(int(s), int(e), int(n)) for s, e, n in zip(ss, es, ns)]
+
         if state.hasTimedOut:
-            s, e, n = state.get
-            state.remove()
-            yield emit([(int(s), int(e), int(n))])
+            yield from flush_and_store(stored_segments())
             return
         chunks = [p for p in pdfs if len(p)]
         if not chunks:
@@ -126,16 +157,12 @@ def streaming_sessionize_timeout(
             (int(us[a]), int(us[b - 1]), int(b - a))
             for a, b in zip(bounds[:-1], bounds[1:])
         ]
-        # Merge the stored open session as one more segment, by interval
-        # logic — NOT by assuming batch events are newer than the stored
-        # end. With a nonzero watermark delay a late-but-valid event can
-        # precede the stored session (or even land inside its span); an
-        # ordered-append merge would then produce end < start and a wrong
-        # count. Sorting by (start, end) and coalescing on the gap rule
-        # reproduces global sessionization for any arrival order.
-        if state.exists:
-            segs.append(tuple(int(v) for v in state.get))
-            segs.sort(key=lambda t: (t[0], t[1]))
+        # Interval-merge batch segments with ALL stored segments — NOT an
+        # ordered append onto a single open session. Sorting by (start,
+        # end) and coalescing on the gap rule reproduces global
+        # sessionization for any arrival order of late-but-valid events.
+        segs.extend(stored_segments())
+        segs.sort(key=lambda t: (t[0], t[1]))
         merged: list[tuple[int, int, int]] = [segs[0]]
         for seg in segs[1:]:
             m = merged[-1]
@@ -143,21 +170,7 @@ def streaming_sessionize_timeout(
                 merged[-1] = (m[0], max(m[1], seg[1]), m[2] + seg[2])
             else:
                 merged.append(seg)
-        *flushed, last = merged
-        # ms-floored event-time timer. If the newest session is already
-        # closed per event time (its timer instant is at/behind the
-        # watermark — possible when the whole batch was late data), flush
-        # it now: the engine rejects timers <= watermark.
-        timer_ms = (last[1] + gap_us) // 1000
-        if timer_ms <= state.getCurrentWatermarkMs():
-            flushed.append(last)
-            if state.exists:
-                state.remove()
-        else:
-            state.update(last)
-            state.setTimeoutTimestamp(timer_ms)
-        if flushed:
-            yield emit(flushed)
+        yield from flush_and_store(merged)
 
     return stream.groupBy(key_col).applyInPandasWithState(
         sessionize,
@@ -165,7 +178,7 @@ def streaming_sessionize_timeout(
             f"{key_col} bigint, session_start_us bigint, "
             "session_end_us bigint, n_events bigint"
         ),
-        stateStructType="s bigint, e bigint, n bigint",
+        stateStructType="ss array<bigint>, es array<bigint>, ns array<bigint>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -520,17 +520,26 @@ def test_ivf_arrow_assignment_equals_sql(spark):
     assert sorted(map(tuple, build("arrow"))) == sorted(map(tuple, build("sql")))
 
 
-def test_pnm_rejects_comment_in_place_of_raster_whitespace():
-    """The spec requires exactly ONE whitespace byte between maxval and
-    the raster; a '#' there must be rejected loudly, not decoded as
-    comment-bytes-as-pixels."""
+def test_pnm_comment_between_maxval_and_raster():
+    """Per the netpbm spec a comment may sit between the maxval token and
+    the raster delimiter; its terminating newline IS the delimiter. The
+    raster must start right after that newline — never inside the comment
+    bytes — and a comment that never terminates must fail loudly."""
+    import numpy as np
     import pytest
 
     from bridge_monitoring_pyspark_spark.operators.multimodal import decode_media
 
-    bad = b"P6 2 1 255# note\n" + bytes(6)
-    with pytest.raises(ValueError, match="whitespace"):
-        decode_media(bad, "image/x-portable-pixmap")
+    px = bytes(range(6))
+    img = decode_media(b"P6 2 1 255# note\n" + px, "image/x-portable-pixmap")
+    assert (img["pixels"].ravel() == np.frombuffer(px, dtype=np.uint8)).all()
+
+    # consecutive comments: the LAST newline delimits
+    img2 = decode_media(b"P6 2 1 255# a\n# b\n" + px, "image/x-portable-pixmap")
+    assert (img2["pixels"].ravel() == np.frombuffer(px, dtype=np.uint8)).all()
+
+    with pytest.raises(ValueError, match="truncated"):
+        decode_media(b"P6 2 1 255# never terminated", "image/x-portable-pixmap")
 
 
 def test_ivf_arrow_preserves_double_vectors(spark):
