@@ -387,3 +387,60 @@ QUERIES.append(
           _SESSION_TIMEOUT_SQL,
           ("streaming", "stateful", "event_time_timeout", "state_eviction"))
 )
+
+
+def _streaming_statestore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-store BATCH READER (Spark 4 `spark.read.format("statestore")`):
+    after an availableNow drain of a streaming per-type count/sum aggregate,
+    the checkpoint's state rows are read back as a plain DataFrame — the
+    observability path a production deploy uses to audit or repair streaming
+    state without replaying the stream. The state of a complete-mode groupBy
+    IS the final aggregate (key struct → agg buffer struct), so a batch SQL
+    aggregate over the same input is an exact oracle, which also pins the
+    reader's key/value schema contract (`key.event_type`, `value.count`,
+    `value.sum`).
+
+    Scale: the reader emits one task per state-store partition and never
+    replays the source — inspecting 100 TB worth of accumulated state costs
+    O(state), not O(stream). Reference has no streaming state at all
+    (pipelines/gold_aggregation.py is a batch job); this witnesses the
+    introspection half of the engine's state-store story (RocksDB provider,
+    session.py).
+    """
+    out = tempfile.mkdtemp(prefix="eng_ssr_")
+    name = "eng_ssr_" + uuid.uuid4().hex[:8]
+    agg = (
+        read_events_stream(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sv"))
+    )
+    with _stream_shuffle_partitions(spark, 8):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", out + "/_chk")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(out + "/_chk")
+    return state.select(
+        F.col("key.event_type").alias("event_type"),
+        F.col("value.count").alias("n_events"),
+        F.round(F.col("value.sum"), 4).alias("sum_value"),
+    )
+
+
+_STATESTORE_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+QUERIES.append(
+    Query("streaming_statestore_read", _streaming_statestore_read,
+          _STATESTORE_SQL, ("streaming", "statestore", "observability"))
+)

@@ -286,3 +286,53 @@ def test_sessionize_merges_late_but_valid_events(spark, tmp_path):
     assert (1, 3 * h, 5 * h, 3) in got, got  # late event folded in, end intact
     for _, s, e, _ in got:
         assert s <= e, got  # the old append-merge emitted end < start
+
+
+def test_statestore_reader_matches_batch_agg(spark, tmp_path):
+    """spark.read.format("statestore") over a drained complete-mode groupBy
+    checkpoint must expose exactly the final aggregate (one state row per
+    key), and state-metadata must describe the single stateStoreSave
+    operator with the pinned partition count."""
+    import uuid
+
+    from bridge_monitoring_pyspark_spark.streaming.jobs import (
+        _stream_shuffle_partitions,
+        read_events_stream,
+    )
+
+    name = "t_ssr_" + uuid.uuid4().hex[:8]
+    chk = str(tmp_path / "chk")
+    agg = (
+        read_events_stream(spark, SF_SMOKE)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+    )
+    with _stream_shuffle_partitions(spark, 4):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", chk)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
+
+    state = spark.read.format("statestore").load(chk)
+    got = {
+        r["key"]["event_type"]: (r["value"]["count"], round(r["value"]["sum"], 4))
+        for r in state.collect()
+    }
+    want = {
+        r.event_type: (r.n, round(r.sv, 4))
+        for r in load_table(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    assert got == want
+
+    meta = spark.read.format("state-metadata").load(chk).collect()
+    assert len(meta) == 1
+    assert meta[0].operatorName == "stateStoreSave"
+    assert meta[0].numPartitions == 4
