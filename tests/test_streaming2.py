@@ -336,3 +336,73 @@ def test_statestore_reader_matches_batch_agg(spark, tmp_path):
     assert len(meta) == 1
     assert meta[0].operatorName == "stateStoreSave"
     assert meta[0].numPartitions == 4
+
+
+def test_statestore_reader_join_side_exposes_buffered_rows(spark, tmp_path):
+    """For a stream-stream interval join checkpoint, the state reader's
+    joinSide option must expose each side's buffered rows. Exact retention
+    is an engine internal (watermark-relative eviction), so assert the
+    introspection contract: buffered left rows are a subset of the actual
+    click rows, keyed by the join key, with the input schema preserved."""
+    from bridge_monitoring_pyspark_spark.streaming.jobs import (
+        _stream_shuffle_partitions,
+        read_events_stream,
+    )
+
+    chk = str(tmp_path / "chk")
+    events = read_events_stream(spark, SF_SMOKE)
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 minutes")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "2 minutes")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("click_id", "purchase_id")
+    with _stream_shuffle_partitions(spark, 4):
+        q = (
+            pairs.writeStream.format("noop")
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
+
+    left = (
+        spark.read.format("statestore")
+        .option("joinSide", "left")
+        .load(chk)
+    )
+    rows = left.collect()
+    assert rows, "join state should buffer at least the horizon's clicks"
+    buffered = {(r["value"]["click_id"], r["value"]["c_user"]) for r in rows}
+    actual = {
+        (r.click_id, r.c_user)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"))
+        .collect()
+    }
+    assert buffered <= actual
+    # key struct carries exactly the one equi-join key the state is
+    # partitioned by (generically named field0 in join state)
+    assert len(left.schema["key"].dataType.fieldNames()) == 1
+    assert {r["key"][0] for r in rows} <= {u for _, u in actual}
