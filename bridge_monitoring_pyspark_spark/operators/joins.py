@@ -89,7 +89,15 @@ def salted_join(
     dim_s = dim.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )
-    return fact_s.join(dim_s, on=[key, "__salt"], how=how).drop("__salt")
+    # Shuffled-hash, not sort-merge: salting exists to make every (key, salt)
+    # dim partition small, so building a hash map on the replicated dim side
+    # beats externally sorting the huge fact side. Caught by the sf10->sf100
+    # scale run: the SMJ form went x37 at x10 rows (fact-side sort spill)
+    # while SHJ restored ~linear wall-clock. Results are identical; the hint
+    # only picks the physical strategy.
+    return fact_s.join(dim_s.hint("shuffle_hash"), on=[key, "__salt"], how=how).drop(
+        "__salt"
+    )
 
 
 def asof_join(

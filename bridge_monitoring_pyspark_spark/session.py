@@ -40,6 +40,17 @@ def default_configs(shuffle_partitions: int | None = None) -> dict[str, str]:
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.shuffle.partitions": str(shuffle_partitions),
+        # Start wide, let AQE coalesce down: with coalescing on, AQE plans
+        # shuffles at initialPartitionNum and merges small partitions after
+        # seeing runtime sizes, so small queries pay nothing while big
+        # shuffles (sf>=10 locally; any real cluster load) stop spilling
+        # through `shuffle_partitions`-sized sorts. Caught by the sf10->sf100
+        # scale run: the salted orders-customer join went x37 at x10 rows
+        # purely from 32-partition external sorts. Eager iterative loops pin
+        # this down alongside shuffle.partitions (pinned_shuffle_partitions).
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": str(
+            max(256, shuffle_partitions)
+        ),
         # Arrow for the pandas_udf extension surface.
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Parquet scans: vectorized reader + pushdown are defaults, stated
@@ -111,9 +122,21 @@ def pinned_shuffle_partitions(
     streaming/jobs.py:_stream_shuffle_partitions)."""
     if n is None:
         n = spark.sparkContext.defaultParallelism
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    keys = (
+        "spark.sql.shuffle.partitions",
+        # AQE plans shuffles at initialPartitionNum when coalescing is on,
+        # so pinning shuffle.partitions alone would leave the loop's eager
+        # stages starting at the session's wide default.
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+    )
+    old = {k: spark.conf.get(k, None) for k in keys}
+    for k in keys:
+        spark.conf.set(k, str(n))
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
