@@ -234,9 +234,64 @@ FROM events
 """
 
 
+def _sweep_concurrency_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of the sweep line: `max_concurrent_events` partitions
+    its running sum by event_type alone, so with a handful of types each
+    key's points sort *sequentially* on one reducer — the few-key agg-skew
+    wall. This form runs the identical sweep in two levels: (1) partial
+    running sums within (event_type, hour-bucket) — one exchange whose
+    parallelism is types × buckets, not types — emitting each bucket's max
+    prefix and total delta; (2) an exclusive prefix sum of bucket totals
+    over the tiny per-type bucket spine converts bucket-local maxima to
+    global ones. Same decomposition as stable_doc_ids' offset broadcast:
+    order-dependent global scans parallelize by bucketing the order key.
+    Bucketing by a function of t preserves the (t, delta) sweep order, so
+    the result — and the oracle — is identical to the one-level sweep."""
+    e = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    starts = e.select(
+        "event_type", F.col("ts").alias("t"), F.lit(1).alias("delta")
+    )
+    ends = e.select(
+        "event_type",
+        (F.col("ts") + F.expr(f"INTERVAL {SESSION_LEN_MIN} MINUTES")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    pts = starts.unionByName(ends).withColumn(
+        "bucket", F.date_trunc("hour", F.col("t"))
+    )
+    win_in = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per_bucket = (
+        pts.withColumn("run_in_bucket", F.sum("delta").over(win_in))
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.max("run_in_bucket").alias("max_run"),
+            F.sum("delta").alias("bucket_total"),
+        )
+    )
+    prior = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        per_bucket.withColumn(
+            "offset", F.coalesce(F.sum("bucket_total").over(prior), F.lit(0))
+        )
+        .groupBy("event_type")
+        .agg(F.max(F.col("offset") + F.col("max_run")).alias("peak_concurrent"))
+        .orderBy("event_type")
+    )
+
+
 QUERIES = [
     Query("max_concurrent_events", _max_concurrent_events, _SWEEP_SQL,
           ("window", "sweepline", "interval")),
+    Query("sweep_concurrency_bucketed", _sweep_concurrency_bucketed, _SWEEP_SQL,
+          ("window", "sweepline", "interval", "scale_path")),
     Query("scd2_value_history", _scd2_value_history, _SCD2_SQL,
           ("window", "scd2", "temporal")),
     Query("mad_outlier_filter", _mad_outlier_filter, _MAD_SQL,
