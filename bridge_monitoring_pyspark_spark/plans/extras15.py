@@ -46,6 +46,13 @@ def _sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tok",
         (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start"),
     )
+    return _pack_manifest(spans)
+
+
+def _pack_manifest(spans: DataFrame) -> DataFrame:
+    """(doc_id, n_tok, start) -> per-sequence manifest. Shared by the
+    one-level and hierarchical packers, which differ only in how the
+    `start` prefix sum is computed."""
     b = F.lit(PACK_BUDGET)
     exploded = spans.select(
         "doc_id",
@@ -74,6 +81,58 @@ def _sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seq_id")
     )
+
+
+PACK_BUCKET_WIDTH = 65536  # doc_ids per prefix-sum bucket (scale knob)
+
+
+def _sequence_packing_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hierarchical prefix sum the one-level packer's docstring
+    promises, implemented: `sequence_packing_stats` computes the global
+    token offset with a single `Window.orderBy` — an Exchange
+    SinglePartition that funnels the whole corpus through one task. Here
+    the identical algebra runs in two levels: cumsum within doc_id-range
+    buckets (`doc_id div PACK_BUCKET_WIDTH` — monotone in doc_id, so
+    bucket order extends document order), then an exclusive prefix sum of
+    bucket totals over the tiny bucket spine, broadcast back as each
+    bucket's offset. start = local_start + bucket_offset is bit-identical,
+    so the manifest — and the oracle — matches the one-level form exactly.
+    Same decomposition as stable_doc_ids and sweep_concurrency_bucketed;
+    at truly unbounded corpora the spine recurses."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id", token_count_estimate(F.col("text")).cast("long").alias("n_tok")
+        )
+        .where(F.col("n_tok") > 0)
+        .withColumn("bucket", F.expr(f"doc_id div {PACK_BUCKET_WIDTH}"))
+    )
+    win_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # localCheckpoint: `local` feeds both the bucket-total aggregate and the
+    # spans join; without it each branch re-runs the regexp token count over
+    # the full corpus (Spark expression trees are trees, not DAGs — measured
+    # 2x at sf100). Four long columns per doc — cheap to materialize; on a
+    # cluster, persist(MEMORY_AND_DISK) + unpersist.
+    local = toks.withColumn(
+        "local_start", F.sum("n_tok").over(win_in) - F.col("n_tok")
+    ).localCheckpoint()
+    prior = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        local.groupBy("bucket")
+        .agg(F.sum("n_tok").alias("btot"))
+        .withColumn("offset", F.coalesce(F.sum("btot").over(prior), F.lit(0)))
+        .select("bucket", "offset")
+    )
+    spans = local.join(F.broadcast(offsets), "bucket").select(
+        "doc_id",
+        "n_tok",
+        (F.col("local_start") + F.col("offset")).alias("start"),
+    )
+    return _pack_manifest(spans)
 
 
 _PACKING_SQL = rf"""
@@ -200,6 +259,8 @@ ORDER BY split
 QUERIES = [
     Query("sequence_packing_stats", _sequence_packing_stats, _PACKING_SQL,
           ("llm", "packing", "training-data")),
+    Query("sequence_packing_hierarchical", _sequence_packing_hierarchical,
+          _PACKING_SQL, ("llm", "packing", "training-data", "scale_path")),
     Query("corpus_shuffle_rank", _corpus_shuffle_rank, _SHUFFLE_SQL,
           ("llm", "shuffle", "training-data")),
     Query("hash_split_assign", _hash_split_assign, _SPLIT_SQL,

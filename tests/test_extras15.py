@@ -80,3 +80,14 @@ def test_packing_conserves_tokens_and_fills_budget(spark):
         assert r.n_tokens == PACK_BUDGET, f"seq {r.seq_id} under-filled"
     assert 0 < rows[-1].n_tokens <= PACK_BUDGET
     assert [r.seq_id for r in rows] == list(range(len(rows)))
+
+
+def test_hierarchical_packing_equals_one_level(spark):
+    """The two-level prefix sum must reproduce the one-level packer's
+    manifest exactly (start offsets are bit-identical by construction)."""
+    cat = all_queries()
+    a = [tuple(r) for r in
+         cat["sequence_packing_stats"].build(spark, SF_SMOKE).collect()]
+    b = [tuple(r) for r in
+         cat["sequence_packing_hierarchical"].build(spark, SF_SMOKE).collect()]
+    assert a == b and a
