@@ -683,32 +683,8 @@ def hyperplane_lsh_topk(
             raise ValueError(
                 f"planes shape {planes.shape} != ({dim}, {n_tables * bits})"
             )
-    weights = (2 ** np.arange(bits)).astype(np.int64)
-
-    bucket_schema = "id long, table int, bucket long"
-
-    def bucketize(id_name: str):
-        def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in it:
-                if not len(pdf):
-                    continue
-                X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-                signs = (X @ planes) > 0  # (n, n_tables*bits)
-                codes = signs.reshape(len(pdf), n_tables, bits) @ weights
-                ids = np.repeat(pdf[id_name].to_numpy(), n_tables)
-                tables = np.tile(np.arange(n_tables, dtype=np.int32), len(pdf))
-                yield pd.DataFrame(
-                    {"id": ids, "table": tables, "bucket": codes.reshape(-1)}
-                )
-
-        return fn
-
-    qb = queries.select(F.col(query_id).alias("qid"), vec_col).mapInPandas(
-        bucketize("qid"), bucket_schema
-    )
-    cb = corpus.select(F.col(corpus_id).alias("cid"), vec_col).mapInPandas(
-        bucketize("cid"), bucket_schema
-    )
+    qb = _lsh_bucket_table(queries, query_id, vec_col, planes, n_tables, bits)
+    cb = _lsh_bucket_table(corpus, corpus_id, vec_col, planes, n_tables, bits)
     cand = qb.alias("q").join(cb.alias("c"), ["table", "bucket"])
     if exclude_self:
         cand = cand.where(F.col("q.id") != F.col("c.id"))
@@ -745,4 +721,113 @@ def hyperplane_lsh_topk(
     return ranked.select(
         "query_id", F.col("rank").cast("int").alias("rank"), "neighbor_id",
         F.round("sim", 4).alias("cosine_sim"),
+    )
+
+
+def _lsh_bucket_table(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: np.ndarray,
+    n_tables: int,
+    bits: int,
+) -> DataFrame:
+    """(id, table, bucket) rows: table t's bucket packs the sign bits of
+    ``bits`` hyperplane projections (little-endian). One Arrow pass, one
+    ``dim x n_tables*bits`` matmul per batch; ``planes`` rides to executors
+    in the task closure (dim x tables*bits doubles — broadcast-trivial)."""
+    weights = (2 ** np.arange(bits)).astype(np.int64)
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            signs = (X @ planes) > 0  # (n, n_tables*bits)
+            codes = signs.reshape(len(pdf), n_tables, bits) @ weights
+            ids = np.repeat(pdf["__lid"].to_numpy(), n_tables)
+            tables = np.tile(np.arange(n_tables, dtype=np.int32), len(pdf))
+            yield pd.DataFrame(
+                {"id": ids, "table": tables, "bucket": codes.reshape(-1)}
+            )
+
+    return df.select(F.col(id_col).alias("__lid"), vec_col).mapInPandas(
+        fn, "id long, table int, bucket long"
+    )
+
+
+def hyperplane_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float,
+    n_tables: int = 16,
+    bits: int = 5,
+    seed: int = 42,
+    planes: np.ndarray | None = None,
+) -> DataFrame:
+    """Near-dup PAIRS above a cosine threshold via hyperplane-LSH candidate
+    generation + exact verification — the embedding twin of the text side's
+    banded MinHash (`minhash_lsh_candidates`): candidates are unordered id
+    pairs sharing at least one (table, bucket), deduplicated across tables,
+    then exactly re-scored so every emitted pair's similarity is true.
+
+    Scale notes (100 TB): the exact counterpart (`cosine_pairs_blocked`)
+    does O(N²/B) dot products; this path's work is O(N·tables) bucketing +
+    sum over buckets of |bucket|² candidate pairs — tune ``bits`` up with
+    corpus size to keep buckets small, ``tables`` up for recall. Candidate
+    generation is a plain (table, bucket) self-equi-join Catalyst shuffles
+    once; nothing touches the driver. Like the text LSH, recall < 1 by
+    design; the pinned-``planes`` form lets an external oracle replay the
+    identical candidate set, making the output deterministic rather than
+    probabilistic.
+
+    Returns (vec_a, vec_b, cosine_sim) with vec_a < vec_b.
+    """
+    if planes is None:
+        rng = np.random.RandomState(seed)
+        planes = rng.normal(size=(dim, n_tables * bits))
+    else:
+        planes = np.asarray(planes, dtype=np.float64)
+        if planes.shape != (dim, n_tables * bits):
+            raise ValueError(
+                f"planes shape {planes.shape} != ({dim}, {n_tables * bits})"
+            )
+    # Vectors are attached to the BUCKET rows (N x tables rows, one shuffle
+    # of corpus-with-vectors x tables) and pairs are scored inside the
+    # (table, bucket) self-join, so the only per-pair state that ever
+    # shuffles is (vec_a, vec_b, rounded sim) — three scalars for the final
+    # distinct. The first cut of this operator deduped candidate id pairs
+    # first and joined the vectors back per pair: at sf100 that shuffled two
+    # 512-byte vectors per candidate (~10^8 pairs -> >100 GB of spill, found
+    # by the scale run filling the disk). A pair colliding in k tables is
+    # scored k times — identical floats each time (deterministic expression),
+    # so distinct collapses them exactly; duplicate dots are cheap, duplicate
+    # vector shuffles are not.
+    bv = _lsh_bucket_table(df, id_col, vec_col, planes, n_tables, bits).join(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("__v"),
+            l2_norm(F.col(vec_col)).alias("__n"),
+        ),
+        "id",
+    )
+    x, y = bv.alias("x"), bv.alias("y")
+    return (
+        x.join(y, ["table", "bucket"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .withColumn(
+            "cosine_sim",
+            cosine_similarity_prenorm(
+                F.col("x.__v"), F.col("y.__v"), F.col("x.__n"), F.col("y.__n")
+            ),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+        .select(
+            F.col("x.id").alias("vec_a"),
+            F.col("y.id").alias("vec_b"),
+            F.round("cosine_sim", 4).alias("cosine_sim"),
+        )
+        .distinct()
     )

@@ -216,9 +216,61 @@ ORDER BY vec_id
 """
 
 
+def _neardup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup PAIRS via hyperplane-LSH candidates + exact
+    verification — the SemDeDup-shaped scale path beside the exact blocked
+    all-pairs (`neardup_embedding_pairs`, O(N²) dots): work is O(N·tables)
+    bucketing plus within-bucket pairs, the embedding twin of the text
+    side's banded MinHash. Pinned Rademacher planes make the candidate set
+    deterministic, so the DuckDB oracle replays bucketing, pair join, and
+    threshold verify exactly (recall vs the exact pairs is a measured
+    property, not a correctness gate)."""
+    from ..operators.similarity import hyperplane_lsh_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_lsh_pairs(
+        e, "vec_id", "embedding", LSH_DIM, 0.4,
+        n_tables=LSH_TABLES, bits=LSH_BITS, planes=_LSH_PLANES,
+    ).orderBy("vec_a", "vec_b")
+
+
+_NEARDUP_LSH_SQL = f"""
+WITH p AS (
+  SELECT t.pid,
+         [CASE WHEN substring('{_LSH_SIGNS}', t.pid * {LSH_DIM} + i, 1) = 'p'
+               THEN 1.0 ELSE -1.0 END
+          for i in range(1, {LSH_DIM} + 1)] AS pv
+  FROM (SELECT unnest(range({LSH_TABLES * LSH_BITS})) AS pid) t
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+b AS (
+  SELECT e.vec_id, CAST(p.pid // {LSH_BITS} AS INT) AS tbl,
+         sum(CASE WHEN list_dot_product(e.v, p.pv) > 0
+                  THEN CAST(1 AS BIGINT) << CAST(p.pid % {LSH_BITS} AS INT)
+                  ELSE 0 END) AS bucket
+  FROM e CROSS JOIN p
+  GROUP BY e.vec_id, tbl
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+  WHERE x.vec_id < y.vec_id
+)
+SELECT cand.vec_a, cand.vec_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cosine_sim
+FROM cand
+JOIN e a ON a.vec_id = cand.vec_a
+JOIN e b ON b.vec_id = cand.vec_b
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+ORDER BY vec_a, vec_b
+"""
+
+
 QUERIES = [
     Query("winnow_fingerprint_stats", _winnow_fingerprint_stats, _WINNOW_SQL, ("llm", "dedup", "fingerprint")),
     Query("ann_lsh_topk", _ann_lsh_topk, _ANN_LSH_SQL, ("llm", "ann", "lsh")),
+    Query("neardup_embedding_lsh_pairs", _neardup_embedding_lsh_pairs,
+          _NEARDUP_LSH_SQL, ("llm", "dedup", "ann", "lsh", "scale_path")),
     Query("unpivot_part_metrics", _unpivot_part_metrics, _UNPIVOT_SQL, ("reshape",)),
     Query("emb_norms_arrow", _emb_norms_arrow, _EMB_NORMS_SQL, ("llm", "vector", "arrow")),
 ]

@@ -162,3 +162,19 @@ def test_hll_sketch_accuracy(spark):
     for k, r in got.items():
         assert r.exact_users == exact[k]
         assert r.within_5pct, f"{k}: sketch estimate out of 5% bound"
+
+
+def test_lsh_pairs_precision_one_and_measured_recall(spark):
+    """Every LSH-verified pair must appear in the exact blocked all-pairs
+    output with the identical similarity (precision 1 — candidates are
+    exactly re-scored), and recall on the fixture is sane (> 0.2; LSH at
+    threshold 0.4 is far below the collision sweet spot, so this bounds
+    wiring bugs, not the algorithm's ceiling)."""
+    cat = all_queries()
+    lsh = {(r.vec_a, r.vec_b): r.cosine_sim
+           for r in cat["neardup_embedding_lsh_pairs"].build(spark, SF_SMOKE).collect()}
+    exact = {(r.vec_a, r.vec_b): r.cosine_sim
+             for r in cat["neardup_embedding_pairs"].build(spark, SF_SMOKE).collect()}
+    assert lsh and set(lsh) <= set(exact)
+    assert all(exact[k] == v for k, v in lsh.items())
+    assert len(lsh) / len(exact) > 0.2
