@@ -140,6 +140,7 @@ def all_queries() -> dict[str, Query]:
         extras16,
         extras17,
         extras18,
+        extras19,
     )
 
     out: dict[str, Query] = {}
@@ -160,6 +161,7 @@ def all_queries() -> dict[str, Query]:
         extras16,
         extras17,
         extras18,
+        extras19,
     ):
         for q in mod.QUERIES:
             if q.name in out:
