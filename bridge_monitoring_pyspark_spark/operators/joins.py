@@ -13,6 +13,8 @@ Scale notes (100 TB):
   hash/sort-merge join with the range as a post-filter; a pure range
   condition degenerates to BroadcastNestedLoopJoin — never ship that at
   scale without bucketing one side into coarse range buckets first.
+  banded_range_join below IS that bucketing: it manufactures the equi key
+  (a coarse time band) so the pure-range case hash-partitions too.
 * asof_join is equi-join + per-left-row rank-1; the shuffle is on the equi
   key. For high fan-in keys, pre-aggregate the right side per (key, coarse
   time bucket) before the join to bound the intermediate.
@@ -109,6 +111,8 @@ def asof_join(
     right_time: Column,
     left_row_id: Sequence[str],
     tiebreak: Sequence[Column] = (),
+    tolerance: Column | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """As-of join: for each left row, the single right row with the greatest
     ``right_time`` <= ``left_time`` within the same key.
@@ -117,8 +121,19 @@ def asof_join(
     ``row_number() == 1`` per left row ordered by right_time desc (plus a
     caller-supplied deterministic tiebreak). ``left_row_id`` must uniquely
     identify left rows.
+
+    ``tolerance`` bounds the lookback (pandas ``merge_asof(tolerance=...)``
+    semantics): only right rows with ``right_time >= left_time - tolerance``
+    match. Besides the semantics, it is the scale lever — an unbounded
+    as-of drags a key's whole history into the rank; a tolerance caps the
+    per-row candidate set at the join filter. ``how="left"`` keeps
+    matchless left rows with NULL right columns (the lone null row ranks 1,
+    so the rank-1 cut passes it through).
     """
-    joined = left.join(right, (left_key == right_key) & (right_time <= left_time), "inner")
+    cond = (left_key == right_key) & (right_time <= left_time)
+    if tolerance is not None:
+        cond = cond & (right_time >= left_time - tolerance)
+    joined = left.join(right, cond, how)
     order = [right_time.desc(), *tiebreak]
     w = Window.partitionBy(*left_row_id).orderBy(*order)
     return (
@@ -126,3 +141,53 @@ def asof_join(
         .where(F.col("__asof_rank") == 1)
         .drop("__asof_rank")
     )
+
+
+def banded_range_join(
+    intervals: DataFrame,
+    points: DataFrame,
+    lo: Column,
+    hi: Column,
+    point_ts: Column,
+    band_seconds: int,
+) -> DataFrame:
+    """Pure range join (NO equi key) between two big tables, decomposed so
+    it hash-partitions: match every interval ``[lo, hi]`` to every point
+    with ``lo <= point_ts <= hi``.
+
+    Each interval explodes into every ``band_seconds``-wide time band it
+    overlaps; each point maps to its single band; the join becomes an
+    *equi-join on the band* with the exact range predicate as a post-join
+    filter. A (interval, point) match shares exactly one band — the
+    point's — so results need no dedup and equal the naive theta join
+    row-for-row.
+
+    100 TB shape: the naive plan is BroadcastNestedLoopJoin (one side
+    materialized on every executor, |A|x|B| compares). This plan shuffles
+    both sides by band: per-task work is one band's intervals x points, and
+    fan-out is bounded by ``ceil(span / band_seconds) + 1`` copies per
+    interval. Pick ``band_seconds`` near the typical interval span — wider
+    bands cut the fan-out, narrower bands cut the per-band pairing cost.
+    Intervals must have bounded span for the explode to be bounded; raise
+    loudly otherwise rather than silently fanning out.
+    """
+    for df, side in ((intervals, "intervals"), (points, "points")):
+        if "__band" in df.columns:
+            raise ValueError(f"{side} already has a __band column")
+
+    def _band(ts: Column) -> Column:
+        # TIMESTAMP_NTZ has no direct long cast; route through TIMESTAMP
+        # (a no-op for tz-aware columns, monotone for NTZ — and the band
+        # only has to be a consistent monotone bucketing, the exact range
+        # predicate below does the real filtering).
+        secs = ts.cast("timestamp").cast("long")
+        return (secs / band_seconds).cast("long")
+
+    iv = intervals.withColumn(
+        "__band", F.explode(F.sequence(_band(lo), _band(hi)))
+    ).withColumn("__lo", lo).withColumn("__hi", hi)
+    pt = points.withColumn("__band", _band(point_ts))
+    out = iv.join(pt, "__band").where(
+        (point_ts >= F.col("__lo")) & (point_ts <= F.col("__hi"))
+    )
+    return out.drop("__band", "__lo", "__hi")

@@ -141,6 +141,8 @@ def all_queries() -> dict[str, Query]:
         extras17,
         extras18,
         extras19,
+        extras20,
+        extras21,
     )
 
     out: dict[str, Query] = {}
@@ -162,6 +164,8 @@ def all_queries() -> dict[str, Query]:
         extras17,
         extras18,
         extras19,
+        extras20,
+        extras21,
     ):
         for q in mod.QUERIES:
             if q.name in out:
