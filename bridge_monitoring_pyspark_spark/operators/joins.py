@@ -150,6 +150,7 @@ def banded_range_join(
     hi: Column,
     point_ts: Column,
     band_seconds: int,
+    max_bands: int = 16,
 ) -> DataFrame:
     """Pure range join (NO equi key) between two big tables, decomposed so
     it hash-partitions: match every interval ``[lo, hi]`` to every point
@@ -168,8 +169,10 @@ def banded_range_join(
     fan-out is bounded by ``ceil(span / band_seconds) + 1`` copies per
     interval. Pick ``band_seconds`` near the typical interval span — wider
     bands cut the fan-out, narrower bands cut the per-band pairing cost.
-    Intervals must have bounded span for the explode to be bounded; raise
-    loudly otherwise rather than silently fanning out.
+    Intervals must have bounded span for the explode to be bounded:
+    any row that would fan past ``max_bands`` copies fails the job loudly
+    (``raise_error`` inside the plan) instead of silently exploding —
+    a single open-ended interval at 100 TB is a job-killer, not a row.
     """
     for df, side in ((intervals, "intervals"), (points, "points")):
         if "__band" in df.columns:
@@ -183,8 +186,18 @@ def banded_range_join(
         secs = ts.cast("timestamp").cast("long")
         return (secs / band_seconds).cast("long")
 
+    hi_band_checked = F.when(
+        _band(hi) - _band(lo) < F.lit(max_bands), _band(hi)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"banded_range_join: interval spans >= {max_bands} bands — "
+                "raise band_seconds or max_bands"
+            )
+        ).cast("long")
+    )
     iv = intervals.withColumn(
-        "__band", F.explode(F.sequence(_band(lo), _band(hi)))
+        "__band", F.explode(F.sequence(_band(lo), hi_band_checked))
     ).withColumn("__lo", lo).withColumn("__hi", hi)
     pt = points.withColumn("__band", _band(point_ts))
     out = iv.join(pt, "__band").where(

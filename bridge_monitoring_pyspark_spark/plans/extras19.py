@@ -313,6 +313,77 @@ LIMIT {SAMPLE_N}
 """
 
 
+def _streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classifier as a *streaming ingest filter* — and in its zero-
+    shuffle form: the batch entry scores via explode→groupBy (map-side
+    combine), but a per-document score never needed a shuffle at all, so
+    here the token sum runs as higher-order array expressions
+    (transform + aggregate) *inside the row*. The streaming pass is
+    therefore completely stateless — no watermark, no state store — which
+    is the shape a 100 TB selection pass in front of a training-data lake
+    wants: score-and-drop at wire speed, aggregate later.
+
+    Same integer arithmetic as `quality_classifier_scores` (keep iff
+    sm > 950·n), so kept doc_ids match the batch entry exactly; the
+    drained sink is re-aggregated per language for a compact result."""
+    import tempfile
+
+    from ..streaming.jobs import _write
+
+    base = tempfile.mkdtemp(prefix="eng_squal_")
+    schema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    docs = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .load(f"{sf_dir}/documents*.parquet")
+    )
+    toks = words(F.col("text"))
+    m = F.transform(
+        toks,
+        lambda t: (_md5_bucket(t, CLS_BUCKETS) * F.lit(2654435761).cast("long")) % 2001,
+    )
+    sm = F.aggregate(m, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    kept = docs.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (sm - 950 * F.size(toks)).alias("num"),
+    ).where(F.col("num") > 0)
+    q = _write(kept, base, "quality_kept", True)
+    q.awaitTermination()
+    out = spark.read.parquet(base + "/quality_kept")
+    return (
+        out.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+            F.min("doc_id").alias("first_kept_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+_STREAM_QUAL_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         CAST(list_sum([
+           ((CAST(('0x' || substring(md5(t), 1, 8)) AS UBIGINT) % {CLS_BUCKETS})
+            * 2654435761) % 2001
+           FOR t IN regexp_split_to_array(trim(text), '\\s+')
+         ]) AS BIGINT) AS sm
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+       min(doc_id) AS first_kept_doc
+FROM scored
+WHERE sm - 950 * n_tokens > 0
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = [
     Query("dsir_importance_weights", _dsir_importance_weights, _DSIR_SQL,
           ("llm", "selection", "dsir", "training-data")),
@@ -322,4 +393,6 @@ QUERIES = [
           ("llm", "dedup", "substring", "spans")),
     Query("weighted_sample_docs", _weighted_sample_docs, _WEIGHTED_SAMPLE_SQL,
           ("llm", "sampling", "weighted", "training-data")),
+    Query("streaming_quality_filter", _streaming_quality_filter, _STREAM_QUAL_SQL,
+          ("streaming", "llm", "selection", "stateless")),
 ]

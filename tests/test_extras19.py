@@ -135,6 +135,24 @@ def test_weighted_sample_matches_python_replay(spark):
     ]
 
 
+def test_streaming_quality_filter_matches_batch_classifier(spark):
+    """The streaming ingest filter keeps exactly the batch classifier's
+    keep_flag=1 population (same integer rule, zero-shuffle HOF form)."""
+    qs = all_queries()
+    batch = qs["quality_classifier_scores"].build(spark, SF_SMOKE).collect()
+    by_lang: dict[str, list] = {}
+    docs = {d.doc_id: d for d in _docs(spark)}
+    for r in batch:
+        if r.keep_flag == 1:
+            by_lang.setdefault(docs[r.doc_id].lang, []).append(r)
+    got = {r.lang: r for r in qs["streaming_quality_filter"].build(spark, SF_SMOKE).collect()}
+    assert set(got) == set(by_lang)
+    for lang, kept in by_lang.items():
+        assert got[lang].n_kept == len(kept)
+        assert got[lang].kept_tokens == sum(r.n_tokens for r in kept)
+        assert got[lang].first_kept_doc == min(r.doc_id for r in kept)
+
+
 def test_selection_plan_shapes(spark):
     """The scale arguments as physical-plan assertions: the A-ES sample is
     a TakeOrderedAndProject (local top-N per task, no global sort of the

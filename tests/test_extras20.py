@@ -90,6 +90,15 @@ def test_asof_tolerance_left_semantics(spark):
     assert n_excluded_by_tolerance > 0
 
 
+def test_banded_fanout_guard_raises(spark):
+    """An interval spanning more than max_bands copies must kill the job
+    loudly (raise_error in-plan), never silently explode."""
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="banded_range_join"):
+        _banded_pairs(spark, band_seconds=10).count()  # 10-min span / 10s bands = 61 copies
+
+
 def test_banded_rejects_band_collision(spark):
     clicks, purchases = _clicks_and_purchases(spark, SF_SMOKE)
     with pytest.raises(ValueError, match="__band"):
