@@ -191,6 +191,25 @@ ORDER BY doc_id
 """
 
 
+def _positioned_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, g): md5 of every ``DUP_GRAM_WORDS``-word gram with its
+    1-based start position. The gram key is its hash, so the wide 8-word
+    string never crosses a shuffle."""
+    k = DUP_GRAM_WORDS
+    d = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    idx = F.sequence(F.lit(1), F.size("ws") - (k - 1))
+    gram = lambda i: F.md5(  # noqa: E731
+        F.encode(F.concat_ws(" ", *[F.element_at(F.col("ws"), i + j) for j in range(k)]), "UTF-8")
+    )
+    grams = F.when(
+        F.size("ws") >= k,
+        F.transform(idx, lambda i: F.struct(i.alias("pos"), gram(i).alias("g"))),
+    ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+    return d.select("doc_id", F.explode(grams).alias("s")).select(
+        "doc_id", F.col("s.pos").cast("long").alias("pos"), F.col("s.g").alias("g")
+    )
+
+
 def _substring_dup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document duplicated-substring runs — the span half of exact
     substring dedup (Lee et al. 2021): an 8-word gram is *duplicated* if
@@ -206,19 +225,7 @@ def _substring_dup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram hash — the same postings discipline as the Jaccard/winnowing
     entries, nothing all-pairs.
     """
-    k = DUP_GRAM_WORDS
-    d = load_table(spark, sf_dir, "documents").select("doc_id", words(F.col("text")).alias("ws"))
-    idx = F.sequence(F.lit(1), F.size("ws") - (k - 1))
-    gram = lambda i: F.md5(  # noqa: E731
-        F.encode(F.concat_ws(" ", *[F.element_at(F.col("ws"), i + j) for j in range(k)]), "UTF-8")
-    )
-    grams = F.when(
-        F.size("ws") >= k,
-        F.transform(idx, lambda i: F.struct(i.alias("pos"), gram(i).alias("g"))),
-    ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
-    sh = d.select("doc_id", F.explode(grams).alias("s")).select(
-        "doc_id", F.col("s.pos").cast("long").alias("pos"), F.col("s.g").alias("g")
-    )
+    sh = _positioned_grams(load_table(spark, sf_dir, "documents"))
     dup = (
         sh.groupBy("g")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -265,6 +272,81 @@ SELECT doc_id, CAST(sum(run_len) AS BIGINT) AS n_dup_grams,
        CAST(max(run_len) AS BIGINT) AS longest_run,
        CAST(count(*) AS BIGINT) AS n_runs
 FROM runs GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def _substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The removal half of exact substring dedup (Lee et al. 2021):
+    actually CUT the duplicated spans, keep-first policy — a word survives
+    unless it is covered by a duplicated 8-gram whose first holder
+    (min doc_id) is some *earlier* document. Emits per-doc word counts
+    before/after and the md5 of the cleaned text, so the rewrite is
+    checkable without shipping full documents around.
+
+    100 TB shape: positioned grams -> per-gram (df, first holder)
+    aggregation (map-side combine on the gram *hash*) -> postings join
+    back -> bounded 8x position explode for coverage -> per-doc covered
+    set -> one higher-order filter per row rebuilds the text with zero
+    additional shuffle. Nothing is all-pairs and no per-doc state exceeds
+    the document's own length.
+    """
+    k = DUP_GRAM_WORDS
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _positioned_grams(docs)
+    gstats = sh.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.min("doc_id").alias("first_holder"),
+    )
+    removable = (
+        sh.join(gstats.where(F.col("df") >= 2), "g")
+        .where(F.col("doc_id") > F.col("first_holder"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("widx"),
+        )
+        .distinct()
+    )
+    covered = removable.groupBy("doc_id").agg(F.collect_set("widx").alias("cov"))
+    d = docs.select("doc_id", words(F.col("text")).alias("ws")).join(
+        covered, "doc_id", "left"
+    ).withColumn("cov", F.coalesce(F.col("cov"), F.array().cast("array<long>")))
+    kept = F.filter(
+        F.col("ws"), lambda w, i: ~F.array_contains(F.col("cov"), (i + 1).cast("long"))
+    )
+    return d.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n_words"),
+        F.size("cov").cast("long").alias("n_removed"),
+        F.md5(F.encode(F.concat_ws(" ", kept), "UTF-8")).alias("cleaned_md5"),
+    ).orderBy("doc_id")
+
+
+_DEDUP_CLEAN_SQL = f"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+sh AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         md5(array_to_string(ws[i:i + {DUP_GRAM_WORDS - 1}], ' ')) AS g
+  FROM w, UNNEST(range(1, len(ws) - {DUP_GRAM_WORDS - 2})) AS t(i)
+  WHERE len(ws) >= {DUP_GRAM_WORDS}
+),
+gstats AS (
+  SELECT g, count(DISTINCT doc_id) AS df, min(doc_id) AS first_holder
+  FROM sh GROUP BY g
+),
+removable AS (
+  SELECT DISTINCT sh.doc_id, CAST(u.widx AS BIGINT) AS widx
+  FROM sh JOIN gstats USING (g), UNNEST(range(sh.pos, sh.pos + {DUP_GRAM_WORDS})) AS u(widx)
+  WHERE gstats.df >= 2 AND sh.doc_id > gstats.first_holder
+),
+covered AS (SELECT doc_id, list(widx) AS cov FROM removable GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(len(w.ws) AS BIGINT) AS n_words,
+       CAST(coalesce(len(c.cov), 0) AS BIGINT) AS n_removed,
+       md5(coalesce(array_to_string(
+         [w.ws[i] FOR i IN range(1, len(w.ws) + 1)
+          IF NOT coalesce(list_contains(c.cov, i), false)], ' '), '')) AS cleaned_md5
+FROM w LEFT JOIN covered c ON w.doc_id = c.doc_id
+ORDER BY w.doc_id
 """
 
 
@@ -391,6 +473,8 @@ QUERIES = [
           ("llm", "selection", "quality", "classifier")),
     Query("substring_dup_runs", _substring_dup_runs, _DUP_RUNS_SQL,
           ("llm", "dedup", "substring", "spans")),
+    Query("substring_dedup_clean", _substring_dedup_clean, _DEDUP_CLEAN_SQL,
+          ("llm", "dedup", "substring", "rewrite")),
     Query("weighted_sample_docs", _weighted_sample_docs, _WEIGHTED_SAMPLE_SQL,
           ("llm", "sampling", "weighted", "training-data")),
     Query("streaming_quality_filter", _streaming_quality_filter, _STREAM_QUAL_SQL,

@@ -119,6 +119,40 @@ def test_substring_dup_runs_matches_python_replay(spark):
     assert expect, "fixture produced no cross-document duplicated grams"
 
 
+def test_substring_dedup_clean_matches_python_replay(spark):
+    docs = _docs(spark)
+    k = DUP_GRAM_WORDS
+    toks = {d.doc_id: _tokens(d.text) for d in docs}
+    first_holder: dict[str, int] = {}
+    holders: dict[str, set[int]] = {}
+    for doc_id in sorted(toks):
+        ts = toks[doc_id]
+        for i in range(len(ts) - k + 1):
+            g = " ".join(ts[i:i + k])
+            holders.setdefault(g, set()).add(doc_id)
+            first_holder.setdefault(g, doc_id)
+    rows = {r.doc_id: r for r in
+            all_queries()["substring_dedup_clean"].build(spark, SF_SMOKE).collect()}
+    assert set(rows) == set(toks)
+    n_any_removed = 0
+    for doc_id, ts in toks.items():
+        cov = set()
+        for i in range(len(ts) - k + 1):
+            g = " ".join(ts[i:i + k])
+            if len(holders[g]) >= 2 and doc_id > first_holder[g]:
+                cov.update(range(i, i + k))
+        kept = " ".join(t for j, t in enumerate(ts) if j not in cov)
+        r = rows[doc_id]
+        assert r.n_words == len(ts)
+        assert r.n_removed == len(cov)
+        assert r.cleaned_md5 == hashlib.md5(kept.encode()).hexdigest()
+        n_any_removed += bool(cov)
+    # the fixture must actually exercise removal, and keep-first must
+    # leave at least the earliest copy of every duplicated gram intact
+    assert n_any_removed > 0
+    assert any(r.n_removed == 0 for r in rows.values())
+
+
 def test_weighted_sample_matches_python_replay(spark):
     def key(doc_id: int, w: int) -> float:
         u = (int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16) + 1) / float(1 << 48)
