@@ -466,6 +466,58 @@ ORDER BY lang
 """
 
 
+GROUP_SAMPLE_K = 5  # per-language sample size
+
+
+def _weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified A-ES: the same deterministic u^(1/w) draw as
+    `weighted_sample_docs`, but top-k *per language* — the per-domain
+    sampling step a mixture executor runs after `domain_mixture_weights`
+    decides each domain's quota.
+
+    100 TB shape: one shuffle on the stratum key, rank inside each group
+    (state = one group's rows), nothing global. For heavily skewed strata
+    the salted two-phase top-k (operators/topk.py) is the sibling; the
+    per-group k here is tiny so the plain window is the right plan.
+    """
+    u = (
+        F.conv(
+            F.substring(F.md5(F.encode(F.col("doc_id").cast("string"), "UTF-8")), 1, 12),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / _U48
+    key = F.round(F.log(u) / F.col("n_chars"), 8)
+    ranked = (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "doc_id", F.col("n_chars").alias("weight"), key.alias("k"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(F.col("k").desc(), "doc_id")
+            ),
+        )
+        .where(F.col("rank") <= GROUP_SAMPLE_K)
+    )
+    return ranked.select("lang", "rank", "doc_id", "weight").orderBy("lang", "rank")
+
+
+_GROUP_SAMPLE_SQL = f"""
+WITH s AS (
+  SELECT lang, doc_id, n_chars AS weight,
+         round(ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS UBIGINT) + 1)
+                  / {_U48!r}) / n_chars, 8) AS k
+  FROM documents
+)
+SELECT lang, CAST(row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS INT) AS rank,
+       doc_id, weight
+FROM s
+QUALIFY rank <= {GROUP_SAMPLE_K}
+ORDER BY lang, rank
+"""
+
+
 QUERIES = [
     Query("dsir_importance_weights", _dsir_importance_weights, _DSIR_SQL,
           ("llm", "selection", "dsir", "training-data")),
@@ -479,4 +531,6 @@ QUERIES = [
           ("llm", "sampling", "weighted", "training-data")),
     Query("streaming_quality_filter", _streaming_quality_filter, _STREAM_QUAL_SQL,
           ("streaming", "llm", "selection", "stateless")),
+    Query("weighted_sample_per_lang", _weighted_sample_per_lang, _GROUP_SAMPLE_SQL,
+          ("llm", "sampling", "weighted", "stratified")),
 ]

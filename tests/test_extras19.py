@@ -169,6 +169,24 @@ def test_weighted_sample_matches_python_replay(spark):
     ]
 
 
+def test_weighted_sample_per_lang_matches_python_replay(spark):
+    from bridge_monitoring_pyspark_spark.plans.extras19 import GROUP_SAMPLE_K
+
+    def key(doc_id: int, w: int) -> float:
+        u = (int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16) + 1) / float(1 << 48)
+        return round(math.log(u) / w, 8)
+
+    by_lang: dict[str, list] = {}
+    for d in _docs(spark):
+        by_lang.setdefault(d.lang, []).append((key(d.doc_id, d.n_chars), d.doc_id, d.n_chars))
+    expect = []
+    for lang in sorted(by_lang):
+        top = sorted(by_lang[lang], key=lambda t: (-t[0], t[1]))[:GROUP_SAMPLE_K]
+        expect += [(lang, i + 1, doc_id, w) for i, (_, doc_id, w) in enumerate(top)]
+    rows = all_queries()["weighted_sample_per_lang"].build(spark, SF_SMOKE).collect()
+    assert [(r.lang, r.rank, r.doc_id, r.weight) for r in rows] == expect
+
+
 def test_streaming_quality_filter_matches_batch_classifier(spark):
     """The streaming ingest filter keeps exactly the batch classifier's
     keep_flag=1 population (same integer rule, zero-shuffle HOF form)."""
