@@ -128,8 +128,16 @@ def asof_join(
     as-of drags a key's whole history into the rank; a tolerance caps the
     per-row candidate set at the join filter. ``how="left"`` keeps
     matchless left rows with NULL right columns (the lone null row ranks 1,
-    so the rank-1 cut passes it through).
+    so the rank-1 cut passes it through). Only ``inner`` and ``left`` are
+    meaningful: the rank-1 cut partitions by ``left_row_id``, so with
+    ``right``/``full`` every unmatched right row lands in the NULL
+    left_row_id group and all but one would be silently discarded.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"asof_join supports how in ('inner', 'left'); got {how!r} — "
+            "the per-left-row rank-1 cut is undefined for unmatched right rows"
+        )
     cond = (left_key == right_key) & (right_time <= left_time)
     if tolerance is not None:
         cond = cond & (right_time >= left_time - tolerance)
@@ -174,9 +182,17 @@ def banded_range_join(
     (``raise_error`` inside the plan) instead of silently exploding —
     a single open-ended interval at 100 TB is a job-killer, not a row.
     """
+    # __lo/__hi are reserved on BOTH sides: the intervals side would have
+    # them overwritten and dropped, and a points-side copy makes the
+    # post-join range filter's column reference ambiguous.
     for df, side in ((intervals, "intervals"), (points, "points")):
-        if "__band" in df.columns:
-            raise ValueError(f"{side} already has a __band column")
+        clash = [c for c in ("__band", "__lo", "__hi") if c in df.columns]
+        if clash:
+            raise ValueError(
+                f"banded_range_join: {side} already has internal column(s) "
+                f"{clash}; they would be overwritten, dropped, or made "
+                "ambiguous"
+            )
 
     def _band(ts: Column) -> Column:
         # TIMESTAMP_NTZ has no direct long cast; route through TIMESTAMP

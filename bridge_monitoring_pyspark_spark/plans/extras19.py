@@ -106,6 +106,13 @@ def _dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_tokens"),
+            # round(…, 4) is compared exactly against DuckDB. Residual risk:
+            # Spark's partial-agg order is nondeterministic, so a double sum
+            # landing within ~1 ulp of a 1e-4 rounding boundary could flip.
+            # Accepted because the weights come from a 9-sig-fig normalizer
+            # (boundary hits are measure-zero in practice) and 4 decimals is
+            # the documented DSIR output contract; if it ever flakes, drop
+            # the round and compare raw doubles like quality_classifier does.
             F.round(F.sum(F.col("c") * F.col("wgt")), 4).alias("log_iw"),
         )
         .orderBy("doc_id")

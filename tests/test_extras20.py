@@ -107,3 +107,37 @@ def test_banded_rejects_band_collision(spark):
             lo=F.col("c_ts"), hi=F.col("c_hi"), point_ts=F.col("p_ts"),
             band_seconds=BAND_SECONDS,
         )
+
+
+def test_banded_rejects_lo_hi_collision(spark):
+    """Caller-owned __lo/__hi must be rejected on BOTH sides: the intervals
+    side would have them overwritten then dropped, the points side would
+    make the post-join range filter ambiguous."""
+    clicks, purchases = _clicks_and_purchases(spark, SF_SMOKE)
+    for col in ("__lo", "__hi"):
+        for iv, pt in (
+            (clicks.withColumn(col, F.lit(0)), purchases),
+            (clicks, purchases.withColumn(col, F.lit(0))),
+        ):
+            with pytest.raises(ValueError, match=col):
+                banded_range_join(
+                    iv, pt,
+                    lo=F.col("c_ts"), hi=F.col("c_hi"),
+                    point_ts=F.col("p_ts"), band_seconds=BAND_SECONDS,
+                )
+
+
+def test_asof_rejects_right_full_how(spark):
+    """asof_join's rank-1-per-left-row cut is undefined for unmatched right
+    rows; 'right'/'full' must raise instead of silently dropping them."""
+    from bridge_monitoring_pyspark_spark.operators.joins import asof_join
+
+    df = spark.range(3)
+    for how in ("right", "full", "outer", "left_semi"):
+        with pytest.raises(ValueError, match="asof_join"):
+            asof_join(
+                df, df,
+                left_key=F.col("id"), right_key=F.col("id"),
+                left_time=F.col("id"), right_time=F.col("id"),
+                left_row_id=["id"], how=how,
+            )
