@@ -44,7 +44,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "silver_enriched",
     "join_success_rate",
     "gold_metrics_hourly",
-    "gold_daily_per_user",
     "events_per_minute",
     "top_users_by_peak_value",
     "event_time_range",
@@ -52,12 +51,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "rejected_union_by_name",
     "csv_dim_roundtrip",  # S4
     "asof_last_order_before_event",
-    "pivot_event_type_counts",
-    "full_outer_daily_activity",
     "dedup_events_keep_first",
     "sliding_window_counts",  # T2 sliding
     "session_window_stats",  # T2 session
-    "json_props_stats",
     # streaming forms (S1-S3, S6-S7, T1-T7)
     "streaming_json_ingest",
     "streaming_bronze_valid",
@@ -84,7 +80,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "neardup_embedding_pairs",
     "simhash_docs",
     "neardup_components",
-    "winnow_fingerprint_stats",
     "winnow_neardup_pairs",
     "ann_cosine_topk",
     "ann_ivf_topk",
@@ -92,7 +87,20 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "kmeans_embeddings",
     "multimodal_features",
     "sequence_packing_stats",
+    # round-5 data-selection + sketch headliners (rotated into the capped
+    # window per round-5 review; the five slots they took were redundant
+    # second witnesses of already-covered §2 ids)
+    "dsir_importance_weights",
+    "substring_dedup_clean",
+    "weighted_sample_per_lang",
+    "neardup_embedding_lsh_pairs",
+    "cms_heavy_hitters",
     # position 51+: operator ids above already covered elsewhere
+    "gold_daily_per_user",
+    "pivot_event_type_counts",
+    "full_outer_daily_activity",
+    "json_props_stats",
+    "winnow_fingerprint_stats",
     "corpus_shuffle_rank",
     "hash_split_assign",
     "streaming_foreachbatch_dq",
