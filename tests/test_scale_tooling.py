@@ -107,6 +107,40 @@ def test_cipher_preserves_lengths_and_dup_structure(scaled):
     assert (n - nd) == FACTOR * (n_src - nd_src), "dup count must scale linearly"
 
 
+def test_measured_shape_bands():
+    """Pin the classifier (tools/bench_scale.py:measured_shape): the decade-3
+    18.08x-at-10x case must classify superlinear, never linear."""
+    from bench_scale import measured_shape
+
+    assert measured_shape(1.1, 10) == "flat"
+    assert measured_shape(4.0, 10) == "sublinear"
+    assert measured_shape(10.0, 10) == "linear"
+    assert measured_shape(13.0, 10) == "linear"
+    assert measured_shape(14.54, 10) == "superlinear"  # q3 @ decade 3
+    assert measured_shape(18.08, 10) == "superlinear"  # salted join @ decade 3
+    assert measured_shape(80.0, 10) == "quadratic-ish"
+
+
+def test_committed_scale_runs_carry_measured_shape():
+    """Every committed SCALE_RUNS artifact must store BOTH the expected tag
+    and a measured_shape consistent with its own recorded ratio — the
+    round-5 review found the old single field overstating 18x as linear."""
+    import json
+
+    from bench_scale import measured_shape
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for fname in ("SCALE_RUNS.json", "SCALE_RUNS_DECADE2.json", "SCALE_RUNS_DECADE3.json"):
+        d = json.load(open(os.path.join(repo, fname)))
+        for name, rec in d["queries"].items():
+            assert "shape" not in rec, f"{fname}:{name} still has the old field"
+            assert "expected_shape" in rec, f"{fname}:{name}"
+            if "ratio" in rec:
+                assert rec["measured_shape"] == measured_shape(
+                    rec["ratio"], d["factor_rows"]
+                ), f"{fname}:{name}"
+
+
 def test_embedding_permutation_orthogonal(scaled):
     # dimension permutation preserves every within-copy norm exactly
     n_src = _q(f"SELECT count(*) FROM read_parquet('{SRC}/embeddings.parquet')")[0]
