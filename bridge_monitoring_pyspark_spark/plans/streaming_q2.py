@@ -273,7 +273,12 @@ QUERIES.append(
 
 
 _SESS_TO_GAP_US = 86_400_000_000  # 24 h session gap
-_SESS_TO_FILES = 3  # source split → 3 deterministic micro-batches
+# Source split → deterministic micro-batches. 2 is the minimum that still
+# witnesses mid-stream timer fires (idle keys flushing while batch 2 advances
+# the watermark); the emission rule is batching-independent so the result set
+# is identical at any split — trimmed from 3 for bench hygiene (this was the
+# suite's most expensive fixture, round-5 review item 1).
+_SESS_TO_FILES = 2
 
 
 def _streaming_session_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -98,7 +98,10 @@ def _protobuf_ok() -> bool:
 
 @pytest.mark.skipif(
     not _protobuf_ok(),
-    reason="transformWithState needs google.protobuf; broken in this container",
+    # Re-checked every round; as of round 6 `import google.protobuf` still
+    # raises ModuleNotFoundError (the package is absent, not merely broken).
+    # Semantics stay covered by the applyInPandasWithState twins.
+    reason="transformWithState needs google.protobuf; absent in this container",
 )
 def test_transform_with_state_running_counts(spark):
     from bridge_monitoring_pyspark_spark.plans.streaming_q2 import (
