@@ -7,10 +7,13 @@ and the Python stage parallelizes per partition.
 
 The decode slot is REAL for PNM images (P6 RGB / P5 grayscale) via a
 dependency-free parser — :func:`decode_media` returns width/height/pixel
-array for ``image/x-portable-pixmap`` / ``-graymap`` and the
-``multimodal_decode_ppm`` catalog entry oracle-checks decoded pixel
-statistics end-to-end. Formats needing PIL/librosa/ffmpeg (not in this
-container) still raise ``NotImplementedError`` from the same slot.
+array for ``image/x-portable-pixmap`` / ``-graymap`` — and for PNG
+(``image/png``) via a stdlib-only decoder (zlib inflate + the five
+scanline filters, critical chunks, CRC-verified); the
+``multimodal_decode_ppm`` / ``multimodal_decode_png`` catalog entries
+oracle-check decoded pixel statistics end-to-end. Formats needing
+PIL/librosa/ffmpeg (not in this container) still raise
+``NotImplementedError`` from the same slot.
 
 Scale notes: binary payloads dominate row width; keep
 ``spark.sql.files.maxPartitionBytes`` at its default 128 MB so tasks stay
@@ -89,11 +92,142 @@ def _pnm_parse_header(buf: bytes) -> tuple[bytes, int, int, int, int]:
     return tokens[0], int(tokens[1]), int(tokens[2]), int(tokens[3]), i + 1
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# IHDR color type -> channels (bit depth 8 only; palette expands to RGB)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4): pick whichever of left/up/up-left
+    is closest to a + b - c, ties resolved left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_decode(buf: bytes) -> dict:
+    """Stdlib-only PNG decoder: signature check, chunk walk with CRC
+    verification, zlib inflate of the IDAT stream, and per-row reversal of
+    all five scanline filters (None/Sub/Up/Average/Paeth). Supports bit
+    depth 8, color types 0/2/3/4/6 (palette expanded via PLTE), no
+    interlace. Truncated or corrupt input fails loudly — a silent partial
+    decode would poison downstream pixel statistics.
+
+    The filter-reversal loop is per-byte Python for Sub/Average/Paeth
+    (sequential left-dependency); fine for fixture-scale images — a 100 TB
+    media pipeline would swap this one function for a native decoder while
+    keeping the identical Arrow plumbing around it."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not buf.startswith(_PNG_SIG):
+        raise ValueError("bad PNG signature")
+    ihdr = plte = None
+    idat: list[bytes] = []
+    seen_iend = False
+    i = len(_PNG_SIG)
+    while i < len(buf):
+        if i + 8 > len(buf):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack(">I", buf[i : i + 4])
+        ctype = buf[i + 4 : i + 8]
+        if i + 12 + length > len(buf):
+            raise ValueError(f"truncated PNG chunk {ctype!r}")
+        data = buf[i + 8 : i + 8 + length]
+        (crc,) = struct.unpack(">I", buf[i + 8 + length : i + 12 + length])
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG CRC mismatch in chunk {ctype!r}")
+        i += 12 + length
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            seen_iend = True
+            break
+        # ancillary chunks (tEXt, gAMA, ...) are skipped after CRC check
+    if ihdr is None or len(ihdr) != 13 or not idat or not seen_iend:
+        raise ValueError("missing critical PNG chunk (IHDR/IDAT/IEND)")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if comp != 0 or filt != 0:
+        raise ValueError(f"bad IHDR compression/filter method {comp}/{filt}")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlaced PNG not supported")
+    if depth != 8:
+        raise NotImplementedError(f"only 8-bit PNG supported, depth={depth}")
+    channels = _PNG_CHANNELS.get(color)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color}")
+    if color == 3 and (plte is None or len(plte) % 3):
+        raise ValueError("palette PNG without a valid PLTE chunk")
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"bad raster length {len(raw)} for {w}x{h}x{channels}"
+        )
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per complete pixel at depth 8
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:]
+        prev = recon[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            recon[y] = cur
+        elif ftype == 2:  # Up — no left dependency, vectorized
+            recon[y] = cur + prev  # uint8 wraps mod 256 by construction
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth — left-sequential
+            r = recon[y]
+            for x in range(stride):
+                a = int(r[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:
+                    pred = _paeth(a, b, c)
+                r[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype} on row {y}")
+    if color == 3:  # expand palette indices to RGB
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        if int(recon.max(initial=0)) >= len(pal):
+            raise ValueError("palette index out of range")
+        return {
+            "width": w,
+            "height": h,
+            "channels": 3,
+            "pixels": pal[recon.reshape(h, w)],
+        }
+    return {
+        "width": w,
+        "height": h,
+        "channels": channels,
+        "pixels": recon.reshape(h, w, channels),
+    }
+
+
 def decode_media(payload: bytes, mime: str) -> object:
     """Decode a media payload. REAL for 8-bit PNM images (P6 RGB, P5
     grayscale) — dependency-free parse to ``{width, height, channels,
-    pixels: np.ndarray(h, w, c)}``. Other formats need PIL/librosa/ffmpeg,
-    which this container doesn't ship, and raise from this same slot."""
+    pixels: np.ndarray(h, w, c)}`` — and for PNG via the stdlib-only
+    :func:`_png_decode`. Other formats need PIL/librosa/ffmpeg, which this
+    container doesn't ship, and raise from this same slot."""
+    if mime == "image/png":
+        return _png_decode(bytes(payload))
     if mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
         import numpy as np
 
@@ -127,6 +261,73 @@ def synth_ppm(doc_id: int) -> bytes:
     i = np.arange(w * h * 3, dtype=np.int64)
     pix = ((doc_id * 7 + i * 13) % 256).astype(np.uint8)
     return f"P6\n# synth {doc_id}\n{w} {h}\n255\n".encode() + pix.tobytes()
+
+
+def synth_png(doc_id: int) -> bytes:
+    """Deterministic RGB PNG fixture for ``doc_id`` — same dims and pixel
+    function as :func:`synth_ppm` (width 4 + id%5, height 3 + id%4, byte
+    i = (id*7 + i*13) % 256) so the SQL oracle is shared; row ``y`` is
+    encoded with scanline filter type ``y % 5``, so every filter
+    (None/Sub/Up/Average/Paeth) is exercised across the corpus and the
+    decoder's reversal of each is what the oracle compare actually
+    checks. An ancillary tEXt chunk is included so the skip path runs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+    i = np.arange(w * h * 3, dtype=np.int64)
+    pix = ((doc_id * 7 + i * 13) % 256).astype(np.uint8).reshape(h, w * 3)
+    stride, bpp = w * 3, 3
+    filtered = bytearray()
+    for y in range(h):
+        ftype = y % 5
+        cur = pix[y].astype(np.int64)
+        prev = pix[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        row = np.empty(stride, dtype=np.uint8)
+        for x in range(stride):
+            a = int(cur[x - bpp]) if x >= bpp else 0  # Recon == Raw here
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            pred = (0, a, b, (a + b) >> 1, _paeth(a, b, c))[ftype]
+            row[x] = (int(cur[x]) - pred) & 0xFF
+        filtered.append(ftype)
+        filtered.extend(row.tobytes())
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"tEXt", b"Comment\x00synth " + str(doc_id).encode())
+        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def with_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the :func:`synth_png` fixture image as a binary payload
+    column via an Arrow batch pass (same plumbing as
+    :func:`with_ppm_payload`)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [synth_png(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, "doc_id long, payload binary")
 
 
 def with_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

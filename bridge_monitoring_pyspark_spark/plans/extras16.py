@@ -426,3 +426,27 @@ QUERIES.append(
     Query("multimodal_decode_ppm", _multimodal_decode_ppm, _DECODE_PPM_SQL,
           ("llm", "multimodal", "decode"))
 )
+
+
+def _multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode through the multimodal slot: a
+    deterministic RGB PNG fixture per document (row y filtered with
+    scanline filter y % 5, so all five PNG filters are exercised across
+    the corpus) is attached as a binary payload, then
+    operators/multimodal._png_decode runs the stdlib-only pipeline —
+    chunk walk with CRC verification, zlib inflate, per-row filter
+    reversal — and the stats stage emits width/height plus exact
+    per-channel pixel sums. The fixture encodes the same closed-form
+    pixel function as the PPM entry ((doc_id*7 + i*13) % 256), so the
+    oracle replays it with unnest(generate_series(...)): a value
+    mismatch anywhere in inflate/unfilter shows up as a hash fail."""
+    from ..operators.multimodal import decode_image_stats, with_png_payload
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_image_stats(with_png_payload(d), mime="image/png").orderBy("doc_id")
+
+
+QUERIES.append(
+    Query("multimodal_decode_png", _multimodal_decode_png, _DECODE_PPM_SQL,
+          ("llm", "multimodal", "decode", "png"))
+)

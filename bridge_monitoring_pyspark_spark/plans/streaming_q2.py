@@ -289,7 +289,7 @@ def _streaming_session_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFr
     which point the timer fires and the RocksDB state row is REMOVED — the
     pattern that keeps state bounded over a 100 TB unbounded keyspace.
 
-    The events table is re-written as 3 time-ranged files drained with
+    The events table is re-written as ``_SESS_TO_FILES`` time-ranged files drained with
     maxFilesPerTrigger=1, so sessions genuinely span micro-batches and
     timers genuinely fire mid-stream (idle keys flush while other keys'
     files advance the watermark). The emitted row set is
@@ -330,7 +330,7 @@ def _streaming_session_timeout_flush(spark: SparkSession, sf_dir: str) -> DataFr
             ),
         ),
     )
-    # one job writes all time-range files (vs 6 filtered re-scans); each
+    # one job writes all _SESS_TO_FILES time-range files (vs per-file filtered re-scans); each
     # bi=i dir's parts then become the i-th micro-batch via mod-time order
     stage = os.path.join(out, "stage")
     ranged.select("user_id", "ts", "us", "bi").repartition(

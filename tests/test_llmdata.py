@@ -171,15 +171,109 @@ def test_multimodal_plumbing(spark):
         assert r.mime == "text/plain"
 
 
-def test_decode_media_png_still_stubbed():
-    """Formats needing PIL/ffmpeg (absent in this container) must keep
+def test_decode_media_unsupported_formats_still_raise():
+    """Formats needing librosa/ffmpeg (absent in this container) must keep
     raising from the decode slot."""
     import pytest
 
     from bridge_monitoring_pyspark_spark.operators.multimodal import decode_media
 
-    with pytest.raises(NotImplementedError):
-        decode_media(b"\x89PNG", "image/png")
+    for mime in ("audio/mpeg", "video/mp4", "image/jpeg"):
+        with pytest.raises(NotImplementedError):
+            decode_media(b"\x00" * 16, mime)
+
+
+def test_decode_media_png_real():
+    """The stdlib PNG decoder is real: per-filter round trips (all five
+    scanline filter types, including images tall enough that Average and
+    Paeth rows appear), gray/palette color types, ancillary-chunk skip,
+    and loud failures on truncation, CRC corruption, interlace, and
+    16-bit depth."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from bridge_monitoring_pyspark_spark.operators.multimodal import (
+        _png_decode,
+        decode_media,
+        synth_png,
+        synth_ppm,
+    )
+
+    # Round trip vs the PPM twin (same pixel function) across enough ids
+    # to hit every (w, h) combination; h up to 6 → row filters 0..4 all
+    # appear (synth_png uses filter y % 5, plus a tEXt ancillary chunk).
+    for doc_id in (0, 3, 7, 11, 14, 19):
+        png = decode_media(synth_png(doc_id), "image/png")
+        ppm = decode_media(synth_ppm(doc_id), "image/x-portable-pixmap")
+        assert (png["width"], png["height"], png["channels"]) == (
+            ppm["width"], ppm["height"], 3)
+        assert np.array_equal(png["pixels"], ppm["pixels"])
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    # Each filter type alone on a 3x3 grayscale image: decode must equal
+    # the reference unfilter (here: known raw bytes forward-filtered by
+    # hand via the spec formulas, then decoded back).
+    raw = np.arange(9, dtype=np.uint8).reshape(3, 3) * 37 % 251
+    for ftype in range(5):
+        filtered = bytearray()
+        for y in range(3):
+            prev = raw[y - 1].astype(int) if y else np.zeros(3, int)
+            cur = raw[y].astype(int)
+            row = []
+            for x in range(3):
+                a = cur[x - 1] if x else 0
+                b = prev[x]
+                c = prev[x - 1] if x else 0
+                p = a + b - c
+                paeth = (a if abs(p - a) <= abs(p - b) and abs(p - a) <= abs(p - c)
+                         else b if abs(p - b) <= abs(p - c) else c)
+                pred = (0, a, b, (a + b) >> 1, paeth)[ftype]
+                row.append((cur[x] - pred) & 0xFF)
+            filtered.append(ftype)
+            filtered.extend(row)
+        ihdr = struct.pack(">IIBBBBB", 3, 3, 8, 0, 0, 0, 0)
+        buf = (sig + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+               + chunk(b"IEND", b""))
+        got = _png_decode(buf)
+        assert got["pixels"].reshape(3, 3).tolist() == raw.tolist(), ftype
+
+    # Palette color type expands through PLTE.
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    buf = (sig + chunk(b"IHDR", ihdr)
+           + chunk(b"PLTE", bytes([255, 0, 0, 0, 255, 0]))
+           + chunk(b"IDAT", zlib.compress(bytes([0, 1, 0])))
+           + chunk(b"IEND", b""))
+    assert _png_decode(buf)["pixels"].tolist() == [[[0, 255, 0], [255, 0, 0]]]
+
+    good = synth_png(7)
+    with pytest.raises(ValueError, match="signature"):
+        _png_decode(b"X" + good[1:])
+    with pytest.raises(ValueError, match="truncated"):
+        _png_decode(good[:20])
+    with pytest.raises(ValueError, match="truncated"):
+        _png_decode(good[:-1])
+    idx = good.find(b"IDAT") + 10  # flip a byte inside IDAT data
+    with pytest.raises(ValueError, match="CRC"):
+        _png_decode(good[:idx] + bytes([good[idx] ^ 0xFF]) + good[idx + 1:])
+    ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        _png_decode(sig + chunk(b"IHDR", ihdr16)
+                    + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
+                    + chunk(b"IEND", b""))
+    ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
+    with pytest.raises(NotImplementedError, match="interlaced"):
+        _png_decode(sig + chunk(b"IHDR", ihdr_i)
+                    + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+                    + chunk(b"IEND", b""))
 
 
 def test_decode_media_pnm_real():

@@ -12,9 +12,10 @@ no legacy parquet flags, default shuffle partitions), replicating the
 driver's harness exactly; any query that only works under our tuned session
 fails here first. ``--first N`` limits to the first N queries in catalog
 insertion order (the driver's correctness window is the first ~50).
-``--json PATH`` additionally writes a per-query result map (the committed
-ORACLE_FULL.json evidence that the 114 queries past the driver's window
-are oracle-green too).
+``--json PATH`` additionally writes a per-query result map with the full
+verdict triple ``{rows_match, schema_match, hash_match}`` per query (the
+committed ORACLE_FULL.json evidence that the queries past the driver's
+~50-slot window are oracle-green too).
 """
 
 from __future__ import annotations
@@ -113,14 +114,21 @@ def main() -> int:
         res = con.execute(q.oracle)
         dcols = [d[0] for d in res.description]
         drows = res.fetchall()
+        # Per-query verdict triple, mirroring the driver's CORRECTNESS rows
+        # (rows_match / schema_match / hash_match) so the committed JSON is
+        # independently auditable, not a summary claim (VERDICT r6 item 5).
+        rows_match = len(srows) == len(drows)
+        schema_match = sorted(scols) == sorted(dcols)
+        hash_match = False
         problems = []
-        if len(srows) != len(drows):
+        if not rows_match:
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if sorted(scols) != sorted(dcols):
+        if not schema_match:
             problems.append(f"columns spark={sorted(scols)} duck={sorted(dcols)}")
-        if not problems:
+        if rows_match and schema_match:
             a, b = norm_rows(scols, srows), norm_rows(dcols, drows)
-            if a != b:
+            hash_match = a == b
+            if not hash_match:
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ, first diffs: {diffs}")
         status = "OK " if not problems else "FAIL"
@@ -130,6 +138,9 @@ def main() -> int:
             failures.append((name, p))
         results[name] = {
             "rows": len(srows),
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
             "status": "ok" if not problems else "fail",
             "ok": not problems,
             **({"problems": [p[:200] for p in problems]} if problems else {}),
