@@ -51,12 +51,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "rejected_union_by_name",
     "csv_dim_roundtrip",  # S4
     "asof_last_order_before_event",
-    "dedup_events_keep_first",
     "sliding_window_counts",  # T2 sliding
     "session_window_stats",  # T2 session
     # streaming forms (S1-S3, S6-S7, T1-T7)
     "streaming_json_ingest",
-    "streaming_bronze_valid",
     "streaming_silver_enriched",
     "streaming_gold_metrics",
     "streaming_stateful_dedup",
@@ -73,7 +71,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "text_quality_stats",
     "token_count_estimate",
     "doc_fingerprint_md5",
-    "language_summary",
     "dedup_exact_docs",
     "neardup_jaccard_pairs",
     "neardup_minhash_lsh_pairs",
@@ -95,7 +92,20 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "weighted_sample_per_lang",
     "neardup_embedding_lsh_pairs",
     "cms_heavy_hitters",
+    # round-7 rotation (VERDICT r6 item 8): driver-verify the new PNG
+    # decode entry, the timer-eviction stateful witness, and the exact
+    # distributed k-NN join. The three slots they take were redundant
+    # second witnesses (exact dedup keep-first ~ dedup_exact_docs;
+    # streaming parquet source ~ streaming_silver_enriched; language
+    # groupBy count ~ the A3/A4 witnesses), all still oracle-checked in
+    # full-catalog runs from position 51+.
+    "multimodal_decode_png",
+    "streaming_session_timeout_flush",
+    "knn_join_blocked",
     # position 51+: operator ids above already covered elsewhere
+    "dedup_events_keep_first",
+    "streaming_bronze_valid",
+    "language_summary",
     "gold_daily_per_user",
     "pivot_event_type_counts",
     "full_outer_daily_activity",

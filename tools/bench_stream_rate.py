@@ -1,0 +1,174 @@
+"""Sustained-rate streaming throughput: rows/s for a continuous ingest job.
+
+The scale evidence (SCALE_RUNS*.json) measures batch witnesses only; this
+tool adds the one missing modality (VERDICT r6 item 4): a sustained
+micro-batch run against Spark's ``rate`` source, long enough to reach
+steady state, reporting achieved rows/s from the engine's own
+StreamingQueryProgress records.
+
+Workload (default, ``--mode stateless``): the model-based quality filter in
+its zero-shuffle form — per row, synthesize a 16-token document JVM-side
+(md5-derived tokens, standing in for ingest parse), score it with the same
+integer-arithmetic classifier as ``quality_classifier_scores``
+(token→md5 bucket→weight, keep iff sum > threshold), and drop or keep.
+Everything is codegen expressions — no Python, no shuffle, no state — which
+is the shape of a selection pass in front of a 100 TB training-data lake.
+
+``--mode stateful`` swaps the sink side for a watermarked sliding-window
+count per hash bucket (update mode), so the run also reports state-store
+rows/bytes from ``stateOperators`` — the state-size datapoint.
+
+Source is ``rate-micro-batch`` with a FIXED ``rowsPerBatch`` (default 1M):
+unlike the plain ``rate`` source — whose batches grow without bound the
+moment processing lags the configured rate, so a too-high setting produces
+one giant never-finishing batch — fixed-size batches keep every trigger
+comparable and ``processedRowsPerSecond`` measures the engine's sustainable
+throughput directly. The first batch is excluded (cold codegen + worker
+spin-up).
+
+Usage:
+    python tools/bench_stream_rate.py [--seconds 60] [--rows-per-batch 1000000]
+        [--mode stateless|stateful] [--out STREAM_RATE.json]
+
+Writes {mode, config, rows_total, rows_per_sec_mean, rows_per_sec_max,
+batches, state_rows, state_bytes} — committed as STREAM_RATE.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bridge_monitoring_pyspark_spark.session import get_spark  # noqa: E402
+
+TOKENS_PER_ROW = 16
+CLS_BUCKETS = 256  # mirrors plans/extras19.CLS_BUCKETS
+THRESH = 950  # keep iff sm > THRESH * n_tokens (bias -0.05, weights in [-1,1])
+
+
+def _md5_bucket(col, buckets: int):
+    return (
+        F.conv(F.substring(F.md5(F.encode(col, "UTF-8")), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+
+
+def build_pipeline(spark, rows_per_batch: int, partitions: int, mode: str):
+    """rate-micro-batch source -> synth doc -> codegen score -> keep/drop."""
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", str(rows_per_batch))
+        .option("numPartitions", str(partitions))
+        # event-time advances 1s per batch so the stateful mode's windows
+        # and watermark progress deterministically batch-over-batch
+        .option("advanceMillisPerBatch", "1000")
+        .load()
+    )
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(TOKENS_PER_ROW - 1)),
+        lambda i: F.substring(
+            F.md5(F.concat(F.col("value").cast("string"), F.lit("_"), i.cast("string"))),
+            1,
+            8,
+        ),
+    )
+    m = F.transform(
+        toks, lambda t: (_md5_bucket(t, CLS_BUCKETS) * F.lit(2654435761).cast("long")) % 2001
+    )
+    sm = F.aggregate(m, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    scored = src.select(
+        "timestamp",
+        "value",
+        sm.alias("sm"),
+    ).where(F.col("sm") > THRESH * TOKENS_PER_ROW)
+    if mode == "stateless":
+        return scored
+    # stateful: watermarked tumbling count per coarse bucket (update mode) —
+    # bounded key space (1024 buckets x windows inside the watermark), so
+    # state is O(buckets), the shape a production rollup wants.
+    return (
+        scored.withWatermark("timestamp", "10 seconds")
+        .groupBy(
+            F.window("timestamp", "5 seconds"),
+            (F.col("value") % 1024).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("sm").alias("sum_sm"))
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=int, default=60)
+    ap.add_argument("--rows-per-batch", type=int, default=1_000_000)
+    ap.add_argument("--mode", choices=("stateless", "stateful"), default="stateless")
+    ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    ap.add_argument("--out", default=None, help="JSON output path (default: print only)")
+    a = ap.parse_args()
+
+    spark = get_spark(master=f"local[{a.cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = build_pipeline(spark, a.rows_per_batch, int(a.cpus), a.mode)
+    mode_out = "update" if a.mode == "stateful" else "append"
+    q = (
+        df.writeStream.format("noop")
+        .outputMode(mode_out)
+        .option("checkpointLocation", os.path.join("/tmp", f"rate_ck_{time.time_ns()}"))
+        .start()
+    )
+    t0 = time.time()
+    while time.time() - t0 < a.seconds:
+        time.sleep(1.0)
+    # Read progress BEFORE stop(): recentProgress survives stop, but the
+    # final partial batch's numbers are not steady-state anyway.
+    progress = [json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+
+    # Steady state: drop the first batch (codegen + Python-worker cold
+    # start) and any zero-row ticks.
+    batches = [p for p in progress if p.get("numInputRows", 0) > 0][1:]
+    rates = [p["processedRowsPerSecond"] for p in batches]
+    rows_total = sum(p["numInputRows"] for p in batches)
+    state_rows = state_bytes = 0
+    for p in batches[-1:]:
+        for so in p.get("stateOperators", []):
+            state_rows += so.get("numRowsTotal", 0)
+            state_bytes += so.get("memoryUsedBytes", 0)
+    result = {
+        "mode": a.mode,
+        "seconds": a.seconds,
+        "rows_per_batch": a.rows_per_batch,
+        "cpus": int(a.cpus),
+        "tokens_per_row": TOKENS_PER_ROW,
+        "batches_measured": len(batches),
+        "rows_total": rows_total,
+        "rows_per_sec_mean": round(sum(rates) / len(rates), 1) if rates else None,
+        "rows_per_sec_max": round(max(rates), 1) if rates else None,
+        "state_rows": state_rows,
+        "state_bytes": state_bytes,
+    }
+    print(json.dumps(result, indent=1))
+    if a.out:
+        path = os.path.join(REPO, a.out) if not os.path.isabs(a.out) else a.out
+        # merge modes into one artifact keyed by mode
+        existing = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = json.load(f)
+        existing[a.mode] = result
+        with open(path, "w") as f:
+            json.dump(existing, f, indent=1)
+            f.write("\n")
+        print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
