@@ -185,20 +185,20 @@ def _png_decode(buf: bytes) -> dict:
         prev = recon[y - 1] if y else np.zeros(stride, dtype=np.uint8)
         if ftype == 0:  # None
             recon[y] = cur
+        elif ftype == 1:  # Sub — per-lane prefix sum (mod distributes)
+            for lane in range(bpp):
+                recon[y, lane::bpp] = np.cumsum(
+                    cur[lane::bpp], dtype=np.int64
+                ) & 0xFF
         elif ftype == 2:  # Up — no left dependency, vectorized
             recon[y] = cur + prev  # uint8 wraps mod 256 by construction
-        elif ftype in (1, 3, 4):  # Sub / Average / Paeth — left-sequential
+        elif ftype in (3, 4):  # Average / Paeth — left-sequential
             r = recon[y]
             for x in range(stride):
                 a = int(r[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
                 c = int(prev[x - bpp]) if x >= bpp else 0
-                if ftype == 1:
-                    pred = a
-                elif ftype == 3:
-                    pred = (a + b) >> 1
-                else:
-                    pred = _paeth(a, b, c)
+                pred = (a + b) >> 1 if ftype == 3 else _paeth(a, b, c)
                 r[x] = (int(cur[x]) + pred) & 0xFF
         else:
             raise ValueError(f"bad PNG filter type {ftype} on row {y}")
@@ -278,22 +278,27 @@ def synth_png(doc_id: int) -> bytes:
 
     w, h = 4 + doc_id % 5, 3 + doc_id % 4
     i = np.arange(w * h * 3, dtype=np.int64)
-    pix = ((doc_id * 7 + i * 13) % 256).astype(np.uint8).reshape(h, w * 3)
+    pix = ((doc_id * 7 + i * 13) % 256).reshape(h, w * 3)  # int64 raw bytes
     stride, bpp = w * 3, 3
+    # Forward filtering is fully vectorizable: every predictor reads RAW
+    # (== recon) neighbors, so left/up/up-left are just shifted views.
+    left = np.zeros_like(pix)
+    left[:, bpp:] = pix[:, :-bpp]
+    up = np.zeros_like(pix)
+    up[1:] = pix[:-1]
+    ul = np.zeros_like(pix)
+    ul[1:, bpp:] = pix[:-1, :-bpp]
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    paeth = np.where(
+        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+    )
+    preds = (np.zeros_like(pix), left, up, (left + up) >> 1, paeth)
     filtered = bytearray()
     for y in range(h):
         ftype = y % 5
-        cur = pix[y].astype(np.int64)
-        prev = pix[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
-        row = np.empty(stride, dtype=np.uint8)
-        for x in range(stride):
-            a = int(cur[x - bpp]) if x >= bpp else 0  # Recon == Raw here
-            b = int(prev[x])
-            c = int(prev[x - bpp]) if x >= bpp else 0
-            pred = (0, a, b, (a + b) >> 1, _paeth(a, b, c))[ftype]
-            row[x] = (int(cur[x]) - pred) & 0xFF
         filtered.append(ftype)
-        filtered.extend(row.tobytes())
+        filtered.extend(((pix[y] - preds[ftype][y]) & 0xFF).astype(np.uint8).tobytes())
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (

@@ -230,16 +230,21 @@ def _substring_dup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join back -> per-doc window. The window partitions by doc_id, so state
     is one document's duplicated positions; the df table shuffles on the
     gram hash — the same postings discipline as the Jaccard/winnowing
-    entries, nothing all-pairs.
+    entries, nothing all-pairs. "appears in >= 2 distinct documents" is
+    computed as min(doc_id) != max(doc_id) — a plain map-side-combined
+    agg, ONE shuffle on hash(g) — instead of countDistinct, whose expand
+    path costs a second (g, doc_id) shuffle; the join back is hinted
+    shuffled-hash so the 8-grams-per-word probe side is never sorted
+    (decade-3 lesson: SMJ external sort is what breaks first at scale).
     """
     sh = _positioned_grams(load_table(spark, sf_dir, "documents"))
     dup = (
         sh.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .where(F.col("df") >= 2)
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
         .select("g")
     )
-    marked = sh.join(dup, "g").select("doc_id", "pos")
+    marked = sh.join(dup.hint("shuffle_hash"), "g").select("doc_id", "pos")
     run_key = F.col("pos") - F.row_number().over(
         Window.partitionBy("doc_id").orderBy("pos")
     )
@@ -290,40 +295,55 @@ def _substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     before/after and the md5 of the cleaned text, so the rewrite is
     checkable without shipping full documents around.
 
-    100 TB shape: positioned grams -> per-gram (df, first holder)
-    aggregation (map-side combine on the gram *hash*) -> postings join
-    back -> bounded 8x position explode for coverage -> per-doc covered
-    set -> one higher-order filter per row rebuilds the text with zero
-    additional shuffle. Nothing is all-pairs and no per-doc state exceeds
-    the document's own length.
+    100 TB shape: positioned grams -> per-gram (first/last holder)
+    aggregation (map-side combine on the gram *hash*; ">= 2 docs" is
+    min != max, avoiding countDistinct's extra expand shuffle) ->
+    shuffled-hash postings join back (probe side never sorted) -> per-doc
+    set of duplicated gram START positions (8x fewer rows than exploding
+    every covered word index, and no distinct shuffle) -> coverage is
+    decided per word IN-ROW with a higher-order exists over the starts
+    (word i covered iff some start s in [i-k+1, i]), and one filter per
+    row rebuilds the text with zero additional shuffle. Nothing is
+    all-pairs and no per-doc state exceeds the document's own gram count.
+    Round-7 decade-3 measurement caught the previous form superlinear
+    (x13.77 at 10x rows, 5M docs): the explode+distinct shuffles and the
+    countDistinct expand were the cost; this shape removes three of the
+    five shuffles.
     """
     k = DUP_GRAM_WORDS
     docs = load_table(spark, sf_dir, "documents")
     sh = _positioned_grams(docs)
     gstats = sh.groupBy("g").agg(
-        F.countDistinct("doc_id").alias("df"),
         F.min("doc_id").alias("first_holder"),
+        F.max("doc_id").alias("last_holder"),
     )
     removable = (
-        sh.join(gstats.where(F.col("df") >= 2), "g")
-        .where(F.col("doc_id") > F.col("first_holder"))
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("widx"),
+        sh.join(
+            gstats.where(F.col("first_holder") != F.col("last_holder")).hint(
+                "shuffle_hash"
+            ),
+            "g",
         )
-        .distinct()
+        .where(F.col("doc_id") > F.col("first_holder"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("starts"))
     )
-    covered = removable.groupBy("doc_id").agg(F.collect_set("widx").alias("cov"))
     d = docs.select("doc_id", words(F.col("text")).alias("ws")).join(
-        covered, "doc_id", "left"
-    ).withColumn("cov", F.coalesce(F.col("cov"), F.array().cast("array<long>")))
-    kept = F.filter(
-        F.col("ws"), lambda w, i: ~F.array_contains(F.col("cov"), (i + 1).cast("long"))
+        removable, "doc_id", "left"
+    ).withColumn(
+        "starts", F.coalesce(F.col("starts"), F.array().cast("array<long>"))
     )
+
+    def covered(i):  # word index i (1-based long) inside a duplicated gram?
+        return F.exists(
+            F.col("starts"), lambda s: (i >= s) & (i <= s + F.lit(k - 1))
+        )
+
+    kept = F.filter(F.col("ws"), lambda w, i: ~covered((i + 1).cast("long")))
     return d.select(
         "doc_id",
         F.size("ws").cast("long").alias("n_words"),
-        F.size("cov").cast("long").alias("n_removed"),
+        (F.size("ws") - F.size(kept)).cast("long").alias("n_removed"),
         F.md5(F.encode(F.concat_ws(" ", kept), "UTF-8")).alias("cleaned_md5"),
     ).orderBy("doc_id")
 
