@@ -1,0 +1,46 @@
+"""The sustained-rate streaming bench (tools/bench_stream_rate.py) must
+measure the workload it claims: the scoring expression is verified here in
+batch mode against a pure-Python md5 replay, so the recorded rows/s figure
+is for a real integer-classifier filter, not a degenerate pipeline."""
+
+import hashlib
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from tools.bench_stream_rate import (  # noqa: E402
+    CLS_BUCKETS,
+    THRESH,
+    TOKENS_PER_ROW,
+    score_and_filter,
+)
+
+
+def _py_score(v: int) -> int:
+    sm = 0
+    for i in range(TOKENS_PER_ROW):
+        tok = hashlib.md5(f"{v}_{i}".encode()).hexdigest()[:8]
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % CLS_BUCKETS
+        sm += (b * 2654435761) % 2001
+    return sm
+
+
+def test_stream_rate_scoring_matches_python_replay(spark):
+    n = 300
+    df = spark.range(n).select(
+        F.current_timestamp().alias("timestamp"), F.col("id").alias("value")
+    )
+    got = {r.value: r.sm for r in score_and_filter(df).collect()}
+    expected = {
+        v: _py_score(v)
+        for v in range(n)
+        if _py_score(v) > THRESH * TOKENS_PER_ROW
+    }
+    assert got == expected
+    # the filter must be selective but non-trivial on this range — a
+    # degenerate all-keep or all-drop pipeline would make the rows/s
+    # figure meaningless
+    assert 0 < len(expected) < n

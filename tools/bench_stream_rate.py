@@ -61,17 +61,11 @@ def _md5_bucket(col, buckets: int):
     )
 
 
-def build_pipeline(spark, rows_per_batch: int, partitions: int, mode: str):
-    """rate-micro-batch source -> synth doc -> codegen score -> keep/drop."""
-    src = (
-        spark.readStream.format("rate-micro-batch")
-        .option("rowsPerBatch", str(rows_per_batch))
-        .option("numPartitions", str(partitions))
-        # event-time advances 1s per batch so the stateful mode's windows
-        # and watermark progress deterministically batch-over-batch
-        .option("advanceMillisPerBatch", "1000")
-        .load()
-    )
+def score_and_filter(df):
+    """(timestamp, value) -> kept rows with their score ``sm``; the synth
+    16-token doc + integer classifier, all codegen expressions — works on
+    a batch or streaming frame identically (the pytest replays it in
+    batch against a pure-Python md5 reimplementation)."""
     toks = F.transform(
         F.sequence(F.lit(0), F.lit(TOKENS_PER_ROW - 1)),
         lambda i: F.substring(
@@ -84,11 +78,25 @@ def build_pipeline(spark, rows_per_batch: int, partitions: int, mode: str):
         toks, lambda t: (_md5_bucket(t, CLS_BUCKETS) * F.lit(2654435761).cast("long")) % 2001
     )
     sm = F.aggregate(m, F.lit(0).cast("long"), lambda acc, x: acc + x)
-    scored = src.select(
+    return df.select(
         "timestamp",
         "value",
         sm.alias("sm"),
     ).where(F.col("sm") > THRESH * TOKENS_PER_ROW)
+
+
+def build_pipeline(spark, rows_per_batch: int, partitions: int, mode: str):
+    """rate-micro-batch source -> synth doc -> codegen score -> keep/drop."""
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", str(rows_per_batch))
+        .option("numPartitions", str(partitions))
+        # event-time advances 1s per batch so the stateful mode's windows
+        # and watermark progress deterministically batch-over-batch
+        .option("advanceMillisPerBatch", "1000")
+        .load()
+    )
+    scored = score_and_filter(src)
     if mode == "stateless":
         return scored
     # stateful: watermarked tumbling count per coarse bucket (update mode) —
