@@ -161,6 +161,7 @@ def all_queries() -> dict[str, Query]:
         extras19,
         extras20,
         extras21,
+        extras22,
     )
 
     out: dict[str, Query] = {}
@@ -184,6 +185,7 @@ def all_queries() -> dict[str, Query]:
         extras19,
         extras20,
         extras21,
+        extras22,
     ):
         for q in mod.QUERIES:
             if q.name in out:

@@ -1,0 +1,141 @@
+"""Round-7 extension wave: parquet schema evolution under mergeSchema.
+
+A 100 TB lake is written over years: early partitions lack columns that
+later producers added, and a reader must present one union schema with
+NULLs where a generation predates a column. Spark's parquet source does
+this with ``mergeSchema=true`` (schema union across file footers) plus
+Hive-style partition discovery; this witness exercises exactly that
+read path end-to-end and aggregates per generation so the oracle checks
+both the NULL-fill and the value passthrough.
+
+100 TB notes: mergeSchema costs a footer read per file at planning time —
+on a real lake you set the union schema explicitly (or keep it in a
+catalog) and leave mergeSchema off for hot paths; the witness keeps the
+discovery form because that's the capability under test. Column pruning
+and predicate pushdown still apply to merged reads (each file's scan
+prunes to the columns it actually has).
+
+No counterpart in the 550-LoC reference (pipelines read a single fixed
+schema: pipelines/bronze_ingest.py); this is lake-operations surface the
+engine needs at scale.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from .catalog import Query
+
+
+def _schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two parquet generations of the events table — gen=1 written by an
+    "old" producer (no ``props``, no derived ``value_sq`` column), gen=2
+    by a "new" one (both present) — read back as ONE table via
+    mergeSchema + partition discovery. Per-generation aggregates prove
+    the old generation's missing columns surface as NULLs (counts 0) and
+    the new generation's values survive byte-exact."""
+    base = tempfile.mkdtemp(prefix="eng_schevo_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    old_gen = ev.where(F.col("event_id") % 2 == 0).drop("props")
+    new_gen = ev.where(F.col("event_id") % 2 == 1).withColumn(
+        "value_sq", F.col("value") * F.col("value")
+    )
+    old_gen.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+    new_gen.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    return (
+        merged.groupBy("gen")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("props").alias("n_props"),
+            F.count("value_sq").alias("n_value_sq"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.round(F.sum("value_sq"), 4).alias("sum_value_sq"),
+        )
+        .orderBy("gen")
+    )
+
+
+_SCHEMA_EVO_SQL = """
+WITH u AS (
+  SELECT 1 AS gen, value, NULL AS props, NULL::DOUBLE AS value_sq
+  FROM events WHERE event_id % 2 = 0
+  UNION ALL
+  SELECT 2 AS gen, value, props, value * value
+  FROM events WHERE event_id % 2 = 1
+)
+SELECT gen,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(props) AS BIGINT) AS n_props,
+       CAST(count(value_sq) AS BIGINT) AS n_value_sq,
+       round(sum(value), 4) AS sum_value,
+       round(sum(value_sq), 4) AS sum_value_sq
+FROM u GROUP BY gen ORDER BY gen
+"""
+
+def _dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the star-schema fact-prune Spark does at
+    RUNTIME — the events table is written Hive-partitioned by event_date,
+    then joined to a small filtered date dim; Catalyst plants a
+    ``dynamicpruning`` subquery on the fact scan's partition filters, so
+    only the dim-surviving date partitions are ever read (reusing the
+    broadcast exchange as the filter source). At 100 TB this is the
+    difference between scanning 10 partitions and 3,650: the filter lives
+    on the DIM, so no static pushdown can prune the fact — only DPP.
+    Plan-gated in tests/test_plan_quality.py (dynamicpruning must appear
+    in the fact scan). Per-date aggregates oracle the surviving rows."""
+    base = tempfile.mkdtemp(prefix="eng_dpp_")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(base)
+    fact = spark.read.parquet(base)
+    dim = (
+        ev.select("event_date")
+        .distinct()
+        .where(F.dayofmonth("event_date") % 3 == 0)
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_date")
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_date")
+    )
+
+
+_DPP_SQL = """
+WITH e AS (SELECT CAST(ts AS DATE) AS event_date, value FROM events),
+keepers AS (
+  SELECT DISTINCT event_date FROM e WHERE day(event_date) % 3 = 0
+)
+SELECT event_date,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM e JOIN keepers USING (event_date)
+GROUP BY event_date ORDER BY event_date
+"""
+
+QUERIES = [
+    Query(
+        "schema_evolution_union",
+        _schema_evolution_union,
+        _SCHEMA_EVO_SQL,
+        ("lake", "schema-evolution", "mergeSchema"),
+    ),
+    Query(
+        "dpp_partitioned_join",
+        _dpp_partitioned_join,
+        _DPP_SQL,
+        ("lake", "dynamic-partition-pruning", "join"),
+    ),
+]

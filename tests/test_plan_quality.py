@@ -137,6 +137,17 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
             spark.conf.set(k, v)
 
 
+def test_dpp_prunes_fact_partitions(spark):
+    """dpp_partitioned_join must plan a dynamicpruning subquery on the
+    Hive-partitioned fact scan: the date filter lives on the dim side, so
+    only runtime pruning (fed by the reused broadcast exchange) can keep
+    the fact read to the surviving partitions — at 100 TB the difference
+    between 10 partitions scanned and all of them."""
+    df = CATALOG["dpp_partitioned_join"].build(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().toString()
+    assert "dynamicpruning" in plan.lower(), "dynamic partition pruning not planned"
+
+
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert (
