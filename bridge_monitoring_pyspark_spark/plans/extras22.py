@@ -125,12 +125,122 @@ FROM e JOIN keepers USING (event_date)
 GROUP BY event_date ORDER BY event_date
 """
 
+def _manifest_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-pinned snapshot reads — the reproducibility primitive a
+    training-data lake needs and plain parquet directories lack: version
+    v1's manifest lists the files of the first ingest batch; a second
+    batch lands, v2's manifest lists both; reading by manifest yields the
+    OLD dataset byte-identically even after the append (the mechanism
+    under Delta/Iceberg time travel, reduced to its essential shape:
+    immutable data files + a versioned file list). Both snapshots are
+    aggregated and compared — v1 read AFTER v2 exists must still see only
+    v1's rows, which is exactly what "training run X used dataset version
+    Y" requires.
+
+    100 TB notes: the manifest is O(files) and read driver-side — same as
+    Delta's _delta_log / Iceberg's manifest lists; data file reads stay
+    fully distributed (`spark.read.parquet(*files)` plans a normal
+    multi-file scan with pushdown/pruning intact)."""
+    import glob
+    import json
+
+    base = tempfile.mkdtemp(prefix="eng_manifest_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    d1, d2 = os.path.join(base, "batch1"), os.path.join(base, "batch2")
+    ev.where(F.col("event_id") % 3 == 0).write.mode("overwrite").parquet(d1)
+    ev.where(F.col("event_id") % 3 == 1).write.mode("overwrite").parquet(d2)
+    v1 = sorted(glob.glob(os.path.join(d1, "part-*.parquet")))
+    v2 = v1 + sorted(glob.glob(os.path.join(d2, "part-*.parquet")))
+    man = os.path.join(base, "_manifests")
+    os.makedirs(man)
+    for v, files in (("v1", v1), ("v2", v2)):
+        with open(os.path.join(man, f"{v}.json"), "w") as f:
+            json.dump({"version": v, "files": files}, f)
+
+    def snapshot(v: str) -> DataFrame:
+        with open(os.path.join(man, f"{v}.json")) as f:
+            files = json.load(f)["files"]
+        return spark.read.parquet(*files)
+
+    def agg(df: DataFrame, v: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ).withColumn("version", F.lit(v))
+
+    # v1 is deliberately read after batch2 exists on disk
+    return (
+        agg(snapshot("v1"), "v1")
+        .unionByName(agg(snapshot("v2"), "v2"))
+        .select("version", "n_rows", "sum_value")
+        .orderBy("version")
+    )
+
+
+_MANIFEST_SQL = """
+SELECT 'v1' AS version, CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(value), 4) AS sum_value
+FROM events WHERE event_id % 3 = 0
+UNION ALL
+SELECT 'v2', CAST(count(*) AS BIGINT), round(sum(value), 4)
+FROM events WHERE event_id % 3 IN (0, 1)
+ORDER BY version
+"""
+
+
+def _nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-field projection pushdown: events re-written with two struct
+    columns (``meta`` holding event_type/value/props, ``who`` holding
+    uid/ts), then a query touching only ``meta.event_type`` and
+    ``meta.value``. Catalyst's nested schema pruning must narrow the
+    parquet ReadSchema to exactly those two leaves — ``props`` (the
+    widest field) and the whole ``who`` struct never leave the file. At
+    100 TB, struct-typed payload columns are the norm (metadata structs
+    beside multimodal blobs) and leaf-level pruning is the difference
+    between reading 2 columns and the full row group. Plan-gated in
+    tests/test_plan_quality.py (ReadSchema must not contain props/who)."""
+    base = tempfile.mkdtemp(prefix="eng_nested_")
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        "event_id",
+        F.struct("event_type", "value", "props").alias("meta"),
+        F.struct(F.col("user_id").alias("uid"), F.col("ts").alias("ts")).alias("who"),
+    ).write.mode("overwrite").parquet(base)
+    return (
+        spark.read.parquet(base)
+        .groupBy(F.col("meta.event_type").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("meta.value"), 4).alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_NESTED_PRUNE_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 QUERIES = [
     Query(
         "schema_evolution_union",
         _schema_evolution_union,
         _SCHEMA_EVO_SQL,
         ("lake", "schema-evolution", "mergeSchema"),
+    ),
+    Query(
+        "manifest_snapshot_reads",
+        _manifest_snapshot_reads,
+        _MANIFEST_SQL,
+        ("lake", "snapshot", "time-travel", "reproducibility"),
+    ),
+    Query(
+        "nested_schema_pruning",
+        _nested_schema_pruning,
+        _NESTED_PRUNE_SQL,
+        ("lake", "nested-pruning", "projection"),
     ),
     Query(
         "dpp_partitioned_join",

@@ -9,6 +9,7 @@ TakeOrderedAndProject instead of a global sort.
 
 from __future__ import annotations
 
+import re
 import tempfile
 
 from pyspark.sql import functions as F
@@ -146,6 +147,20 @@ def test_dpp_prunes_fact_partitions(spark):
     df = CATALOG["dpp_partitioned_join"].build(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().toString()
     assert "dynamicpruning" in plan.lower(), "dynamic partition pruning not planned"
+
+
+def test_nested_schema_pruning_narrows_read(spark):
+    """nested_schema_pruning's scan must read ONLY meta.event_type and
+    meta.value: props (the widest leaf) and the entire who struct stay in
+    the file. A ReadSchema carrying either means leaf-level pruning broke
+    and the scan reads the whole row group at 100 TB."""
+    df = CATALOG["nested_schema_pruning"].build(spark, SF_SMOKE)
+    plan = _executed_plan(df)
+    m = re.search(r"ReadSchema: (\S+)", plan)
+    assert m, "no ReadSchema in executed plan"
+    schema = m.group(1)
+    assert "event_type" in schema and "value" in schema
+    assert "props" not in schema and "who" not in schema, schema
 
 
 def test_aqe_enabled(spark):
