@@ -223,12 +223,59 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
+def _arrow_native_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` over STRING kernels: the zero-copy Arrow batch API
+    with all compute in ``pyarrow.compute`` utf8 kernels, skipping pandas
+    conversion entirely (`emb_norms_arrow` covers the numeric side of
+    this API; this is its text sibling — utf8_length / count_substring /
+    trim run vectorized on Arrow buffers, the cheapest Python hop for
+    string feature extraction at corpus scale). Emits per-doc char stats
+    the DuckDB oracle replays with string functions."""
+    from collections.abc import Iterator as _It
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it: _It[pa.RecordBatch]) -> _It[pa.RecordBatch]:
+        for rb in it:
+            text = rb.column(rb.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(rb.schema.get_field_index("doc_id")),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                    pc.cast(pc.count_substring(text, " "), pa.int64()),
+                    pc.cast(pc.utf8_length(pc.utf8_trim_whitespace(text)), pa.int64()),
+                ],
+                names=["doc_id", "n_chars", "n_spaces", "n_chars_trimmed"],
+            )
+
+    return docs.mapInArrow(
+        batches, "doc_id long, n_chars long, n_spaces long, n_chars_trimmed long"
+    ).orderBy("doc_id")
+
+
+_ARROW_NATIVE_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces,
+       CAST(length(trim(text)) AS BIGINT) AS n_chars_trimmed
+FROM documents ORDER BY doc_id
+"""
+
 QUERIES = [
     Query(
         "schema_evolution_union",
         _schema_evolution_union,
         _SCHEMA_EVO_SQL,
         ("lake", "schema-evolution", "mergeSchema"),
+    ),
+    Query(
+        "arrow_native_features",
+        _arrow_native_features,
+        _ARROW_NATIVE_SQL,
+        ("llm", "arrow", "mapInArrow"),
     ),
     Query(
         "manifest_snapshot_reads",
