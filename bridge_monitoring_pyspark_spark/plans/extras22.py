@@ -264,12 +264,92 @@ SELECT doc_id,
 FROM documents ORDER BY doc_id
 """
 
+_CBO_CONFS = ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+
+
+def _cbo_tables(spark: SparkSession, sf_dir: str) -> None:
+    """(Re)create ANALYZEd catalog tables for the CBO witness. saveAsTable
+    is required because CBO reads rowCount/column stats from the catalog —
+    plain parquet reads carry only size estimates. Stale locations from a
+    prior session's in-memory catalog are removed first."""
+    import shutil
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("lineitem", "orders", "customer"):
+        spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
+        shutil.rmtree(os.path.join(warehouse, f"cbo_{t}"), ignore_errors=True)
+        load_table(spark, sf_dir, t).write.saveAsTable(f"cbo_{t}")
+        spark.sql(f"ANALYZE TABLE cbo_{t} COMPUTE STATISTICS FOR ALL COLUMNS")
+
+
+def cbo_join_reorder_build(spark: SparkSession, sf_dir: str, cbo: bool) -> DataFrame:
+    """Build the deliberately mis-ordered 3-table join (fact x fact first,
+    selective dim last) with CBO on or off; the optimized plan is forced
+    while the confs hold, then they are restored (a Dataset pins its
+    QueryExecution, so the CBO'd plan survives the restore and later
+    conf changes cannot leak into other queries)."""
+    _cbo_tables(spark, sf_dir)
+    for k in _CBO_CONFS:
+        spark.conf.set(k, str(cbo).lower())
+    try:
+        li, o, c = (
+            spark.table("cbo_lineitem"),
+            spark.table("cbo_orders"),
+            spark.table("cbo_customer"),
+        )
+        sel_c = c.where(F.col("c_mktsegment") == "BUILDING")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(sel_c, o.o_custkey == sel_c.c_custkey)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+            )
+        )
+        j._jdf.queryExecution().optimizedPlan()  # force plan under CBO
+        return j
+    finally:
+        for k in _CBO_CONFS:
+            spark.conf.set(k, "false")
+
+
+def _cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based join reordering from ANALYZE stats: the query joins
+    lineitem to orders FIRST and the BUILDING-filtered customer dim LAST —
+    the worst written order — and CBO's DP reorder, fed by catalog
+    rowCount/column stats, must rewrite the tree to reduce the
+    intermediate (plan-gated in tests/test_plan_quality.py by comparing
+    the optimized join order against the CBO-off build). At 100 TB,
+    stats-driven reorder is what saves a query whose author joined two
+    facts before the selective dim. Confs are scoped to the build (see
+    cbo_join_reorder_build); results are order-independent, so the oracle
+    is a plain 3-table join aggregate."""
+    return cbo_join_reorder_build(spark, sf_dir, cbo=True)
+
+
+_CBO_SQL = """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(l_extendedprice), 4) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY c_mktsegment
+"""
+
 QUERIES = [
     Query(
         "schema_evolution_union",
         _schema_evolution_union,
         _SCHEMA_EVO_SQL,
         ("lake", "schema-evolution", "mergeSchema"),
+    ),
+    Query(
+        "cbo_join_reorder",
+        _cbo_join_reorder,
+        _CBO_SQL,
+        ("optimizer", "cbo", "join-reorder", "analyze"),
     ),
     Query(
         "arrow_native_features",

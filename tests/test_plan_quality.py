@@ -163,6 +163,30 @@ def test_nested_schema_pruning_narrows_read(spark):
     assert "props" not in schema and "who" not in schema, schema
 
 
+def test_cbo_reorders_fact_fact_dim_join(spark):
+    """cbo_join_reorder is WRITTEN fact x fact first with the selective
+    dim last; with ANALYZE stats + CBO the optimized tree must move
+    lineitem out of the innermost join (orders x filtered customer join
+    first), while the CBO-off build keeps the written order — proving the
+    reorder is stats-driven, not accidental."""
+    from bridge_monitoring_pyspark_spark.plans.extras22 import (
+        cbo_join_reorder_build,
+    )
+
+    def join_order(cbo: bool) -> list[str]:
+        df = cbo_join_reorder_build(spark, SF_SMOKE, cbo)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        seen: list[str] = []
+        for r in re.findall(r"cbo_(\w+)", plan):
+            if r not in seen:
+                seen.append(r)
+        return seen
+
+    assert join_order(False)[0] == "lineitem"  # written order preserved
+    reordered = join_order(True)
+    assert reordered[0] != "lineitem", f"CBO did not reorder: {reordered}"
+
+
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert (
