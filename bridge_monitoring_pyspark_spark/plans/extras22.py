@@ -275,11 +275,23 @@ def _cbo_tables(spark: SparkSession, sf_dir: str) -> None:
     import shutil
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("lineitem", "orders", "customer"):
+    # column stats only where the reorder needs selectivity/NDV: join keys
+    # + the filter column (FOR ALL COLUMNS on the sf0.1 fact tripled the
+    # witness cost for stats nothing consumes)
+    # project to the columns the witness touches before writing (the full
+    # sf0.1 lineitem rewrite dominated the witness cost otherwise), and
+    # column stats only where the reorder needs selectivity/NDV: join
+    # keys + the filter column
+    table_cols = {
+        "lineitem": (["l_orderkey", "l_extendedprice"], "l_orderkey"),
+        "orders": (["o_orderkey", "o_custkey"], "o_orderkey, o_custkey"),
+        "customer": (["c_custkey", "c_mktsegment"], "c_custkey, c_mktsegment"),
+    }
+    for t, (cols, stat_cols) in table_cols.items():
         spark.sql(f"DROP TABLE IF EXISTS cbo_{t}")
         shutil.rmtree(os.path.join(warehouse, f"cbo_{t}"), ignore_errors=True)
-        load_table(spark, sf_dir, t).write.saveAsTable(f"cbo_{t}")
-        spark.sql(f"ANALYZE TABLE cbo_{t} COMPUTE STATISTICS FOR ALL COLUMNS")
+        load_table(spark, sf_dir, t).select(*cols).write.saveAsTable(f"cbo_{t}")
+        spark.sql(f"ANALYZE TABLE cbo_{t} COMPUTE STATISTICS FOR COLUMNS {stat_cols}")
 
 
 def cbo_join_reorder_build(spark: SparkSession, sf_dir: str, cbo: bool) -> DataFrame:
