@@ -42,6 +42,8 @@ def norm_val(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            v = 0.0  # IEEE -0.0 == 0.0; don't let the sign render as "-0"
         # driver hashes exact values; we round at 1e-9 to catch real bugs
         # while tolerating representation noise the queries already rounded away
         return f"{v:.9g}"
