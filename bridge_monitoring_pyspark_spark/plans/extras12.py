@@ -21,23 +21,33 @@ from .catalog import Query
 def _recursive_calendar_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-free daily activity report via WITH RECURSIVE: the anchor is
     the corpus min date, each step adds one day up to the max (the bound
-    is a scalar subquery, so no driver collect), and a LEFT JOIN brings in
+    rides along as a recursion column, so no driver collect and no
+    per-step subquery job), and a LEFT JOIN brings in
     per-day counts — zero-event days survive. Recursion depth = calendar
     span in days, independent of row count: the spine costs the same at
     100 TB as at 1 MB, and the heavy side joins once, hash-partitioned on
-    the date."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_for_cal")
+    the date.
+
+    The one-row bounds aggregate is ``localCheckpoint``-ed before the
+    recursion: each recursive step re-evaluates the CTEs it references,
+    so an un-materialized ``b`` would re-scan the full events table once
+    per calendar day (~30 full scans at sf0.1, and a scan *per day of
+    history* at 100 TB). Checkpointing pins it to one scan; the recursion
+    then reads a one-row cached block per step."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_for_cal")
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    ).localCheckpoint(eager=True)
+    bounds.createOrReplaceTempView("cal_bounds")
     return spark.sql(
         """
         WITH RECURSIVE
-        b AS (
-          SELECT to_date(min(ts)) AS lo, to_date(max(ts)) AS hi
-          FROM events_for_cal
-        ),
-        cal(day) AS (
-          SELECT lo AS day FROM b
+        cal(day, hi) AS (
+          SELECT lo AS day, hi FROM cal_bounds
           UNION ALL
-          SELECT date_add(day, 1) AS day FROM cal WHERE day < (SELECT hi FROM b)
+          SELECT date_add(day, 1) AS day, hi FROM cal
+          WHERE day < hi
         ),
         daily AS (
           SELECT to_date(ts) AS day,

@@ -13,7 +13,7 @@ key and one value.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import words
@@ -82,16 +82,32 @@ def _repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "w", bigrams.alias("bg")
     )
 
-    def top_frac(col: str, out: str) -> DataFrame:
-        g = base.select("doc_id", F.explode(col).alias("gram"))
-        counts = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-        return counts.groupBy("doc_id").agg(
-            F.round(F.max("c") / F.sum("c"), 4).alias(out)
-        )
-
+    # One scan, one big shuffle: both gram levels ride the same explode
+    # (tagged by `kind`), so the corpus is tokenized once and exchanged
+    # once on (doc_id, kind, gram) — the previous form scanned and
+    # shuffled the corpus twice, once per level. The second and third
+    # aggregations are per-doc (≤ 2 rows/doc) and cost nothing. Keys are
+    # doc_id-prefixed, so the big exchange stays skew-free at 100 TB.
+    tagged = F.concat(
+        F.expr("transform(w, x -> struct(0 AS kind, x AS gram))"),
+        F.expr("transform(bg, x -> struct(1 AS kind, x AS gram))"),
+    )
+    g = base.select("doc_id", F.explode(tagged).alias("t")).select(
+        "doc_id", F.col("t.kind").alias("kind"), F.col("t.gram").alias("gram")
+    )
+    counts = g.groupBy("doc_id", "kind", "gram").agg(F.count(F.lit(1)).alias("c"))
+    fracs = counts.groupBy("doc_id", "kind").agg(
+        F.round(F.max("c") / F.sum("c"), 4).alias("frac")
+    )
     return (
-        top_frac("w", "top_word_frac")
-        .join(top_frac("bg", "top_bigram_frac"), "doc_id")
+        fracs.groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("kind") == 0, F.col("frac"))).alias("top_word_frac"),
+            F.max(F.when(F.col("kind") == 1, F.col("frac"))).alias("top_bigram_frac"),
+        )
+        # inner-join semantics of the two-branch form: docs with no
+        # bigrams (< 2 words) drop out
+        .where(F.col("top_bigram_frac").isNotNull())
         .orderBy("doc_id")
     )
 
