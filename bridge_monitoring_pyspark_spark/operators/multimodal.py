@@ -495,3 +495,51 @@ def resize_media(df: DataFrame, target: int = 64) -> DataFrame:
             )
 
     return df.select("doc_id", "payload").mapInPandas(batches, RESIZE_SCHEMA)
+
+
+def perceptual_dhash(
+    df: DataFrame, mime: str = "image/png", grid_w: int = 9, grid_h: int = 8
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) over REAL decoded images: decode
+    each payload with :func:`decode_media`, integer-grayscale it
+    (``(r+g+b)//3``), sample a ``grid_w x grid_h`` grid by nearest-neighbor
+    (``x(c) = c*w // grid_w``, ``y(r) = r*h // grid_h``), and emit one bit
+    per horizontally-adjacent sample pair — '1' where the right sample is
+    brighter. Near-identical images (recompressions, small edits) collide
+    on the hash, which is the standard first pass of image dedup in
+    multimodal training-data pipelines.
+
+    All arithmetic is integer, so the hash is exactly replayable by a SQL
+    oracle from the fixture's closed-form pixel function — no float
+    tolerance anywhere.
+
+    Scale notes: this is a payload-width reducer (binary in, 64-char hash
+    out) and embarrassingly parallel — zero shuffle; dedup afterwards is
+    one groupBy on the hash. The payload bytes never leave this stage.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_media(bytes(payload), mime)
+                px = img["pixels"].astype("int64")
+                w, h = img["width"], img["height"]
+                if img["channels"] >= 3:
+                    gray = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+                else:
+                    gray = px[:, :, 0]
+                xs = [(c * w) // grid_w for c in range(grid_w)]
+                ys = [(r * h) // grid_h for r in range(grid_h)]
+                bits = [
+                    "1" if gray[ys[r], xs[c + 1]] > gray[ys[r], xs[c]] else "0"
+                    for r in range(grid_h)
+                    for c in range(grid_w - 1)
+                ]
+                ids.append(doc_id)
+                hashes.append("".join(bits))
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    return df.select("doc_id", "payload").mapInPandas(
+        batches, "doc_id long, dhash string"
+    )

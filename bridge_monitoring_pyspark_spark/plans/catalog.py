@@ -162,6 +162,7 @@ def all_queries() -> dict[str, Query]:
         extras20,
         extras21,
         extras22,
+        extras23,
     )
 
     out: dict[str, Query] = {}
@@ -186,6 +187,7 @@ def all_queries() -> dict[str, Query]:
         extras20,
         extras21,
         extras22,
+        extras23,
     ):
         for q in mod.QUERIES:
             if q.name in out:
