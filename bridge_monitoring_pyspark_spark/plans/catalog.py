@@ -74,7 +74,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "dedup_exact_docs",
     "neardup_jaccard_pairs",
     "neardup_minhash_lsh_pairs",
-    "neardup_embedding_pairs",
     "simhash_docs",
     "neardup_components",
     "winnow_neardup_pairs",
@@ -82,7 +81,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "ann_ivf_topk",
     "ann_lsh_topk",
     "kmeans_embeddings",
-    "multimodal_features",
     "sequence_packing_stats",
     # round-5 data-selection + sketch headliners (rotated into the capped
     # window per round-5 review; the five slots they took were redundant
@@ -102,7 +100,17 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "multimodal_decode_png",
     "streaming_session_timeout_flush",
     "knn_join_blocked",
+    # round-7 additions, driver-verified from day one: the PQ ANN tier and
+    # the decoded-image perceptual dedup. The two slots they take were
+    # capability-redundant in the window (exact embedding all-pairs ~ the
+    # LSH twin neardup_embedding_lsh_pairs + ann_cosine_topk; byte-feature
+    # extraction ~ the real-decode entries multimodal_decode_png/ppm);
+    # both stay oracle-checked from position 51+.
+    "ann_pq_adc_topk",
+    "phash_image_dedup",
     # position 51+: operator ids above already covered elsewhere
+    "neardup_embedding_pairs",
+    "multimodal_features",
     "dedup_events_keep_first",
     "streaming_bronze_valid",
     "language_summary",
