@@ -69,6 +69,14 @@ def main() -> None:
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # Every failed run is attributed to its query, even when a later re-run
+    # passes (round-7 review: a py4j DataFrameReader.parquet stack trace
+    # appeared in the bench stderr tail while n_errors stayed 0 — the retry
+    # path had healed a transient fault invisibly). fail_counts / fail_last
+    # feed the "transient_failures" / "transient_errors" fields below so a
+    # flaky witness is NAMED in the artifact instead of vanishing.
+    fail_counts: dict[str, int] = {}
+    fail_last: dict[str, str] = {}
     fatal: str | None = None
     total = -1.0
     wall = -1.0
@@ -98,6 +106,8 @@ def main() -> None:
                 timings[name] = run(q)
             except Exception as e:  # noqa: BLE001 — isolate, record, continue
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
+                fail_counts[name] = fail_counts.get(name, 0) + 1
+                fail_last[name] = errors[name]
 
         # Re-run passes: heaviest-first, repeated until the budget is spent;
         # errored queries get a retry too (a transient fault should cost a
@@ -115,8 +125,12 @@ def main() -> None:
                     break
                 try:
                     t = run(catalog[name])
-                except Exception:
-                    continue  # keep the first pass's timing / error record
+                except Exception as e:  # noqa: BLE001 — attribute, keep going
+                    # keep the first pass's timing / error record, but COUNT
+                    # the failed run so a retried-to-green fault stays visible
+                    fail_counts[name] = fail_counts.get(name, 0) + 1
+                    fail_last[name] = f"{type(e).__name__}: {e}"[:300]
+                    continue
                 timings[name] = min(timings.get(name, t), t)
                 errors.pop(name, None)
                 n_rerun += 1
@@ -146,6 +160,13 @@ def main() -> None:
         else None,
         "queries": timings,
     }
+    # A query that failed at least once but holds a valid timing is a
+    # TRANSIENT failure — a different health class from a clean pass and
+    # from a hard error, and the one the retry loop used to hide.
+    transient = {n: c for n, c in fail_counts.items() if n in timings}
+    full["transient_failures"] = transient
+    if transient:
+        full["transient_errors"] = {n: fail_last[n] for n in transient}
     if errors:
         full["errors"] = errors
     if fatal:
@@ -170,6 +191,10 @@ def main() -> None:
         "queries": dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10]),
     }
     summary.pop("errors", None)
+    summary.pop("transient_errors", None)
+    summary["transient_failures"] = dict(
+        sorted(transient.items(), key=lambda kv: -kv[1])[:5]
+    )
     if errors:
         summary["error_names"] = sorted(errors)[:5]
     if fatal:

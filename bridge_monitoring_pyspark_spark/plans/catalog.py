@@ -70,16 +70,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "lang_id_heuristic",
     "text_quality_stats",
     "token_count_estimate",
-    "doc_fingerprint_md5",
     "dedup_exact_docs",
     "neardup_jaccard_pairs",
     "neardup_minhash_lsh_pairs",
     "simhash_docs",
     "neardup_components",
-    "winnow_neardup_pairs",
     "ann_cosine_topk",
     "ann_ivf_topk",
-    "ann_lsh_topk",
     "kmeans_embeddings",
     "sequence_packing_stats",
     # round-5 data-selection + sketch headliners (rotated into the capped
@@ -108,7 +105,23 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # both stay oracle-checked from position 51+.
     "ann_pq_adc_topk",
     "phash_image_dedup",
+    # round-8 rotation (VERDICT r7 item 6): driver-verify the three most
+    # expensive previously-ORACLE-only witnesses — stats-driven join
+    # reordering, the salted stream-stream interval join (the heaviest
+    # stateful pattern), and the iterative PageRank loop. The three slots
+    # they take were capability-redundant in the window: ann_lsh_topk (ANN
+    # still witnessed by the cosine/IVF/PQ tiers), doc_fingerprint_md5
+    # (fingerprinting still witnessed by simhash + winnowing), and
+    # winnow_neardup_pairs (near-dup still witnessed by minhash-LSH /
+    # jaccard / simhash / components). All three displaced entries remain
+    # oracle-checked from position 51+.
+    "cbo_join_reorder",
+    "streaming_salted_interval_join",
+    "pagerank_transitions",
     # position 51+: operator ids above already covered elsewhere
+    "doc_fingerprint_md5",
+    "winnow_neardup_pairs",
+    "ann_lsh_topk",
     "neardup_embedding_pairs",
     "multimodal_features",
     "dedup_events_keep_first",
@@ -131,7 +144,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "cube_orders_status_priority",
     "intersect_building_urgent",
     "except_building_urgent",
-    "pagerank_transitions",
     "small_file_compaction",
 )
 

@@ -22,14 +22,47 @@ engine needs at scale.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
 from .catalog import Query
+
+# One parquet materialization per (witness, sf_dir) per process. The lake
+# witnesses re-write the events table into a tempdir to exercise a READ
+# capability (mergeSchema / DPP / manifests / nested pruning); bench.py's
+# repeat-until-budget loop rebuilds each witness many times per run, and a
+# fresh mkdtemp per build leaked a full parquet copy of events into /tmp on
+# every pass (round-7 advice). Rebuilds now reuse the first materialization
+# — which also means re-run timings measure the read path under test, not
+# the fixture write — and atexit removes the dirs at process exit.
+_MATERIALIZED: dict[tuple[str, str], str] = {}
+
+
+def _materialized_dir(witness: str, sf_dir: str, write: Callable[[str], None]) -> str:
+    key = (witness, sf_dir)
+    if key not in _MATERIALIZED:
+        base = tempfile.mkdtemp(prefix=f"eng_{witness}_")
+        try:
+            write(base)
+        except BaseException:
+            shutil.rmtree(base, ignore_errors=True)
+            raise
+        _MATERIALIZED[key] = base
+    return _MATERIALIZED[key]
+
+
+@atexit.register
+def _cleanup_materialized() -> None:
+    for d in _MATERIALIZED.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _MATERIALIZED.clear()
 
 
 def _schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -39,16 +72,18 @@ def _schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     mergeSchema + partition discovery. Per-generation aggregates prove
     the old generation's missing columns surface as NULLs (counts 0) and
     the new generation's values survive byte-exact."""
-    base = tempfile.mkdtemp(prefix="eng_schevo_")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value", "props"
-    )
-    old_gen = ev.where(F.col("event_id") % 2 == 0).drop("props")
-    new_gen = ev.where(F.col("event_id") % 2 == 1).withColumn(
-        "value_sq", F.col("value") * F.col("value")
-    )
-    old_gen.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
-    new_gen.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+    def write(base: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value", "props"
+        )
+        old_gen = ev.where(F.col("event_id") % 2 == 0).drop("props")
+        new_gen = ev.where(F.col("event_id") % 2 == 1).withColumn(
+            "value_sq", F.col("value") * F.col("value")
+        )
+        old_gen.write.mode("overwrite").parquet(os.path.join(base, "gen=1"))
+        new_gen.write.mode("overwrite").parquet(os.path.join(base, "gen=2"))
+
+    base = _materialized_dir("schevo", sf_dir, write)
     merged = spark.read.option("mergeSchema", "true").parquet(base)
     return (
         merged.groupBy("gen")
@@ -91,11 +126,14 @@ def _dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the DIM, so no static pushdown can prune the fact — only DPP.
     Plan-gated in tests/test_plan_quality.py (dynamicpruning must appear
     in the fact scan). Per-date aggregates oracle the surviving rows."""
-    base = tempfile.mkdtemp(prefix="eng_dpp_")
     ev = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.to_date("ts")
     )
-    ev.write.mode("overwrite").partitionBy("event_date").parquet(base)
+
+    def write(base: str) -> None:
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(base)
+
+    base = _materialized_dir("dpp", sf_dir, write)
     fact = spark.read.parquet(base)
     dim = (
         ev.select("event_date")
@@ -144,18 +182,21 @@ def _manifest_snapshot_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import json
 
-    base = tempfile.mkdtemp(prefix="eng_manifest_")
-    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
-    d1, d2 = os.path.join(base, "batch1"), os.path.join(base, "batch2")
-    ev.where(F.col("event_id") % 3 == 0).write.mode("overwrite").parquet(d1)
-    ev.where(F.col("event_id") % 3 == 1).write.mode("overwrite").parquet(d2)
-    v1 = sorted(glob.glob(os.path.join(d1, "part-*.parquet")))
-    v2 = v1 + sorted(glob.glob(os.path.join(d2, "part-*.parquet")))
+    def write(base: str) -> None:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+        d1, d2 = os.path.join(base, "batch1"), os.path.join(base, "batch2")
+        ev.where(F.col("event_id") % 3 == 0).write.mode("overwrite").parquet(d1)
+        ev.where(F.col("event_id") % 3 == 1).write.mode("overwrite").parquet(d2)
+        v1 = sorted(glob.glob(os.path.join(d1, "part-*.parquet")))
+        v2 = v1 + sorted(glob.glob(os.path.join(d2, "part-*.parquet")))
+        man_dir = os.path.join(base, "_manifests")
+        os.makedirs(man_dir)
+        for v, files in (("v1", v1), ("v2", v2)):
+            with open(os.path.join(man_dir, f"{v}.json"), "w") as f:
+                json.dump({"version": v, "files": files}, f)
+
+    base = _materialized_dir("manifest", sf_dir, write)
     man = os.path.join(base, "_manifests")
-    os.makedirs(man)
-    for v, files in (("v1", v1), ("v2", v2)):
-        with open(os.path.join(man, f"{v}.json"), "w") as f:
-            json.dump({"version": v, "files": files}, f)
 
     def snapshot(v: str) -> DataFrame:
         with open(os.path.join(man, f"{v}.json")) as f:
@@ -199,13 +240,17 @@ def _nested_schema_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     beside multimodal blobs) and leaf-level pruning is the difference
     between reading 2 columns and the full row group. Plan-gated in
     tests/test_plan_quality.py (ReadSchema must not contain props/who)."""
-    base = tempfile.mkdtemp(prefix="eng_nested_")
-    ev = load_table(spark, sf_dir, "events")
-    ev.select(
-        "event_id",
-        F.struct("event_type", "value", "props").alias("meta"),
-        F.struct(F.col("user_id").alias("uid"), F.col("ts").alias("ts")).alias("who"),
-    ).write.mode("overwrite").parquet(base)
+    def write(base: str) -> None:
+        ev = load_table(spark, sf_dir, "events")
+        ev.select(
+            "event_id",
+            F.struct("event_type", "value", "props").alias("meta"),
+            F.struct(
+                F.col("user_id").alias("uid"), F.col("ts").alias("ts")
+            ).alias("who"),
+        ).write.mode("overwrite").parquet(base)
+
+    base = _materialized_dir("nested", sf_dir, write)
     return (
         spark.read.parquet(base)
         .groupBy(F.col("meta.event_type").alias("event_type"))
@@ -246,7 +291,10 @@ def _arrow_native_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rb.column(rb.schema.get_field_index("doc_id")),
                     pc.cast(pc.utf8_length(text), pa.int64()),
                     pc.cast(pc.count_substring(text, " "), pa.int64()),
-                    pc.cast(pc.utf8_length(pc.utf8_trim_whitespace(text)), pa.int64()),
+                    # space-only trim to match the oracle's trim(text) —
+                    # utf8_trim_whitespace strips the full Unicode whitespace
+                    # class and would diverge on tab/newline-edged documents
+                    pc.cast(pc.utf8_length(pc.utf8_trim(text, " ")), pa.int64()),
                 ],
                 names=["doc_id", "n_chars", "n_spaces", "n_chars_trimmed"],
             )
@@ -266,13 +314,21 @@ FROM documents ORDER BY doc_id
 
 _CBO_CONFS = ("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
 
+# ANALYZEd CBO tables are immutable once written for a given (session,
+# sf_dir); rebuilding them on every witness build just re-spends three
+# saveAsTable writes + ANALYZE scans per bench re-run pass.
+_CBO_TABLES_READY: set[tuple[str, str]] = set()
+
 
 def _cbo_tables(spark: SparkSession, sf_dir: str) -> None:
     """(Re)create ANALYZEd catalog tables for the CBO witness. saveAsTable
     is required because CBO reads rowCount/column stats from the catalog —
     plain parquet reads carry only size estimates. Stale locations from a
-    prior session's in-memory catalog are removed first."""
-    import shutil
+    prior session's in-memory catalog are removed first. Idempotent per
+    (session, sf_dir) — repeat builds reuse the catalog tables."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _CBO_TABLES_READY:
+        return
 
     warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     # column stats only where the reorder needs selectivity/NDV: join keys
@@ -292,6 +348,7 @@ def _cbo_tables(spark: SparkSession, sf_dir: str) -> None:
         shutil.rmtree(os.path.join(warehouse, f"cbo_{t}"), ignore_errors=True)
         load_table(spark, sf_dir, t).select(*cols).write.saveAsTable(f"cbo_{t}")
         spark.sql(f"ANALYZE TABLE cbo_{t} COMPUTE STATISTICS FOR COLUMNS {stat_cols}")
+    _CBO_TABLES_READY.add(key)
 
 
 def cbo_join_reorder_build(spark: SparkSession, sf_dir: str, cbo: bool) -> DataFrame:
@@ -301,6 +358,10 @@ def cbo_join_reorder_build(spark: SparkSession, sf_dir: str, cbo: bool) -> DataF
     QueryExecution, so the CBO'd plan survives the restore and later
     conf changes cannot leak into other queries)."""
     _cbo_tables(spark, sf_dir)
+    # restore the caller's conf values, not a hardcoded "false" — a session
+    # that had CBO enabled before the build must get it back (round-7
+    # advice: the old finally block silently disabled CBO session-wide)
+    orig = {k: spark.conf.get(k, None) for k in _CBO_CONFS}
     for k in _CBO_CONFS:
         spark.conf.set(k, str(cbo).lower())
     try:
@@ -322,8 +383,11 @@ def cbo_join_reorder_build(spark: SparkSession, sf_dir: str, cbo: bool) -> DataF
         j._jdf.queryExecution().optimizedPlan()  # force plan under CBO
         return j
     finally:
-        for k in _CBO_CONFS:
-            spark.conf.set(k, "false")
+        for k, v in orig.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def _cbo_join_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
