@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import exact_avg
 from ..operators.dq import SensorRules, split_valid_invalid
 from ..operators.enrich import enrich_with_dim
 from ..operators.topk import top_k
@@ -152,10 +153,14 @@ def _gold_metrics_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (
             events.where(F.col("event_type") == evt_type)
             .groupBy(win.alias("window"))
-            .agg(F.round(agg_col, 4).alias(out_name))
+            .agg(agg_col.alias(out_name))
         )
 
-    clicks = branch("click", F.avg("value"), "avg_click_value")
+    # exact_avg (fixed-point sum, one division) instead of round(avg, 4):
+    # order-independent and bit-identical across engines, so the sf0.1
+    # oracle replay's rounding-boundary class cannot occur (see
+    # functions/numeric.py). max over 2-decimal data needs no rounding.
+    clicks = branch("click", exact_avg("value"), "avg_click_value")
     views = branch("view", F.max("value"), "max_view_value")
     errors = branch("error", F.max("value"), "max_error_value")
 
@@ -173,13 +178,14 @@ def _gold_metrics_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GOLD_HOURLY_SQL = """
 WITH clicks AS (
-  SELECT date_trunc('hour', ts) AS ws, round(avg(value), 4) AS avg_click_value
+  SELECT date_trunc('hour', ts) AS ws,
+         sum(round(value * 100, 0)) / (100 * count(value)) AS avg_click_value
   FROM events WHERE event_type = 'click' GROUP BY 1
 ), views AS (
-  SELECT date_trunc('hour', ts) AS ws, round(max(value), 4) AS max_view_value
+  SELECT date_trunc('hour', ts) AS ws, max(value) AS max_view_value
   FROM events WHERE event_type = 'view' GROUP BY 1
 ), errors AS (
-  SELECT date_trunc('hour', ts) AS ws, round(max(value), 4) AS max_error_value
+  SELECT date_trunc('hour', ts) AS ws, max(value) AS max_error_value
   FROM events WHERE event_type = 'error' GROUP BY 1
 )
 SELECT c.ws AS window_start, c.ws + INTERVAL 1 HOUR AS window_end,
@@ -200,12 +206,13 @@ def _gold_daily_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = (
         events.where(F.col("event_type") == "click")
         .groupBy(F.col("user_id"), win.alias("window"))
-        .agg(F.round(F.avg("value"), 4).alias("avg_click_value"))
+        # deterministic fixed-point average — see functions/numeric.py
+        .agg(exact_avg("value").alias("avg_click_value"))
     )
     purchases = (
         events.where(F.col("event_type") == "purchase")
         .groupBy(F.col("user_id"), win.alias("window"))
-        .agg(F.round(F.max("value"), 4).alias("max_purchase_value"))
+        .agg(F.max("value").alias("max_purchase_value"))
     )
     return clicks.join(purchases, on=["user_id", "window"], how="inner").select(
         "user_id",
@@ -218,11 +225,11 @@ def _gold_daily_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 _GOLD_DAILY_SQL = """
 WITH clicks AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws,
-         round(avg(value), 4) AS avg_click_value
+         sum(round(value * 100, 0)) / (100 * count(value)) AS avg_click_value
   FROM events WHERE event_type = 'click' GROUP BY 1, 2
 ), purchases AS (
   SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws,
-         round(max(value), 4) AS max_purchase_value
+         max(value) AS max_purchase_value
   FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
 )
 SELECT c.user_id, c.ws AS window_start, c.avg_click_value, p.max_purchase_value

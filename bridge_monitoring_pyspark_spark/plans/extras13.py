@@ -21,6 +21,7 @@ import functools
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import exact_avg
 from ..functions.timeutil import epoch_millis
 from ..sources.readers import load_table
 from .catalog import Query
@@ -38,7 +39,9 @@ def _gapfill_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = (
         ev.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        # deterministic fixed-point average — no summation-order rounding
+        # boundary at any sf (see functions/numeric.py)
+        .agg(exact_avg("value").alias("avg_value"))
     )
     spine = (
         ev.agg(
@@ -72,7 +75,7 @@ WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts))
 spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b),
 types AS (SELECT DISTINCT event_type FROM events),
 hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
-                  round(avg(value), 4) AS avg_value
+                  sum(round(value * 100, 0)) / (100 * count(value)) AS avg_value
            FROM events GROUP BY 1, 2)
 SELECT t.event_type, s.hour,
        last_value(h.avg_value IGNORE NULLS) OVER (

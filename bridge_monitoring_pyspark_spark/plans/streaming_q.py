@@ -87,13 +87,14 @@ WITH wm AS (
   ) - INTERVAL 2 MINUTE AS w
 ),
 clicks AS (
-  SELECT date_trunc('hour', ts) AS ws, round(avg(value), 4) AS avg_click_value
+  SELECT date_trunc('hour', ts) AS ws,
+         sum(round(value * 100, 0)) / (100 * count(value)) AS avg_click_value
   FROM events WHERE event_type = 'click' GROUP BY 1
 ), views AS (
-  SELECT date_trunc('hour', ts) AS ws, round(max(value), 4) AS max_view_value
+  SELECT date_trunc('hour', ts) AS ws, max(value) AS max_view_value
   FROM events WHERE event_type = 'view' GROUP BY 1
 ), errors AS (
-  SELECT date_trunc('hour', ts) AS ws, round(max(value), 4) AS max_error_value
+  SELECT date_trunc('hour', ts) AS ws, max(value) AS max_error_value
   FROM events WHERE event_type = 'error' GROUP BY 1
 )
 SELECT c.ws AS window_start, c.ws + INTERVAL 1 HOUR AS window_end,

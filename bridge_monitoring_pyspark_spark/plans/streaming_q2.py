@@ -177,11 +177,12 @@ WITH wm AS (
   ) - INTERVAL 2 MINUTE AS w
 ),
 c AS (
-  SELECT date_trunc('hour', ts) AS ws, round(avg(value), 4) AS avg_click_value
+  SELECT date_trunc('hour', ts) AS ws,
+         sum(round(value * 100, 0)) / (100 * count(value)) AS avg_click_value
   FROM events WHERE event_type = 'click' GROUP BY 1
 ),
 e AS (
-  SELECT date_trunc('hour', ts) AS ws, round(max(value), 4) AS max_error_value
+  SELECT date_trunc('hour', ts) AS ws, max(value) AS max_error_value
   FROM events WHERE event_type = 'error' AND value > 90 GROUP BY 1
 )
 SELECT c.ws AS window_start, c.ws + INTERVAL 1 HOUR AS window_end,

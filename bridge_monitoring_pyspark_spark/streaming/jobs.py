@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..functions.numeric import exact_avg
 from ..operators.dq import SensorRules, split_valid_invalid
 
 # Streaming-side schema for the driver's events table: parquet timestamp[us]
@@ -336,10 +337,14 @@ def run_gold(
             events.where(F.col("event_type") == evt_type)
             .withWatermark("ts", watermark)
             .groupBy(win.alias("window"))
-            .agg(F.round(agg, 4).alias(out_name))
+            .agg(agg.alias(out_name))
         )
 
-    clicks = branch("click", F.avg("value"), "avg_click_value")
+    # exact_avg (fixed-point sum + one division) instead of round(avg, 4):
+    # order- and partitioning-independent, so restarts / repartitions of
+    # this stateful job reproduce byte-identical gold output and the sf0.1
+    # oracle replay has no rounding boundary (see functions/numeric.py).
+    clicks = branch("click", exact_avg("value"), "avg_click_value")
     views = branch("view", F.max("value"), "max_view_value")
     errors = branch("error", F.max("value"), "max_error_value")
     joined = clicks.join(views, on="window", how="inner").join(
@@ -387,13 +392,14 @@ def run_gold_left_outer(
         events.where(F.col("event_type") == "click")
         .withWatermark("ts", watermark)
         .groupBy(win.alias("window"))
-        .agg(F.round(F.avg("value"), 4).alias("avg_click_value"))
+        # deterministic fixed-point average — see run_gold / functions/numeric.py
+        .agg(exact_avg("value").alias("avg_click_value"))
     )
     errors = (
         events.where((F.col("event_type") == "error") & (F.col("value") > 90))
         .withWatermark("ts", watermark)
         .groupBy(win.alias("window"))
-        .agg(F.round(F.max("value"), 4).alias("max_error_value"))
+        .agg(F.max("value").alias("max_error_value"))
     )
     flat = clicks.join(errors, on="window", how="left_outer").select(
         F.col("window.start").alias("window_start"),
