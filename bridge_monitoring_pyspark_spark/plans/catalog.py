@@ -76,7 +76,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "simhash_docs",
     "neardup_components",
     "ann_cosine_topk",
-    "ann_ivf_topk",
+    # round-8 addition, driver-verified from day one: SemDeDup
+    # cluster-blocked semantic dedup (plans/extras24.py). Its slot was the
+    # IVF ANN tier — ANN stays witnessed in-window by the brute-force and
+    # PQ tiers, and ann_ivf_topk remains oracle-checked from position 51+.
+    "semdedup_prune",
     "kmeans_embeddings",
     "sequence_packing_stats",
     # round-5 data-selection + sketch headliners (rotated into the capped
@@ -122,6 +126,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "doc_fingerprint_md5",
     "winnow_neardup_pairs",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "neardup_embedding_pairs",
     "multimodal_features",
     "dedup_events_keep_first",
@@ -183,6 +188,7 @@ def all_queries() -> dict[str, Query]:
         extras21,
         extras22,
         extras23,
+        extras24,
     )
 
     out: dict[str, Query] = {}
@@ -208,6 +214,7 @@ def all_queries() -> dict[str, Query]:
         extras21,
         extras22,
         extras23,
+        extras24,
     ):
         for q in mod.QUERIES:
             if q.name in out:

@@ -18,6 +18,16 @@ is the shape of a selection pass in front of a 100 TB training-data lake.
 count per hash bucket (update mode), so the run also reports state-store
 rows/bytes from ``stateOperators`` — the state-size datapoint.
 
+``--mode interval-join`` is the heaviest stateful pattern the engine ships
+(plans/extras18.py): a salted stream-stream event-time interval join of two
+rate sources — the left side carries an xxhash64 salt, the right side
+explodes into STREAM_SALT copies, the join keys on (user, salt) plus a
+5-second event-time band, and both sides are watermarked so join state is
+evicted continuously. The right side is filtered to ~1% (purchases are rare
+next to clicks), keeping the match fan-out bounded. Use a smaller
+``--rows-per-batch`` (~250k) than the stateless default: join state holds
+the full watermark horizon of BOTH sides.
+
 Source is ``rate-micro-batch`` with a FIXED ``rowsPerBatch`` (default 1M):
 unlike the plain ``rate`` source — whose batches grow without bound the
 moment processing lags the configured rate, so a too-high setting produces
@@ -85,8 +95,67 @@ def score_and_filter(df):
     ).where(F.col("sm") > THRESH * TOKENS_PER_ROW)
 
 
+JOIN_USERS = 4096  # key cardinality of the interval-join mode
+JOIN_SALT = 4  # mirrors plans/extras18.STREAM_SALT
+JOIN_RIGHT_KEEP = 100  # right side keeps 1 row in JOIN_RIGHT_KEEP
+
+
+def build_interval_join(spark, rows_per_batch: int, partitions: int):
+    """Salted stream-stream interval join at sustained rate — the
+    plans/extras18.py pattern driven by two lockstep rate-micro-batch
+    sources. Left rows are salted via xxhash64; right rows (1% of the
+    stream — purchases are rare next to clicks) explode into JOIN_SALT
+    copies so each (user, salt) state partition sees all of that user's
+    right rows; the join bands on a 5-second event-time window and both
+    watermarks evict state continuously."""
+
+    def src():
+        return (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", str(rows_per_batch))
+            .option("numPartitions", str(partitions))
+            .option("advanceMillisPerBatch", "1000")
+            .load()
+        )
+
+    clicks = (
+        src()
+        .select(
+            F.col("value").alias("click_id"),
+            (F.col("value") % JOIN_USERS).alias("c_user"),
+            F.col("timestamp").alias("c_ts"),
+            F.pmod(F.xxhash64("value"), F.lit(JOIN_SALT)).cast("int").alias("c_salt"),
+        )
+        .withWatermark("c_ts", "10 seconds")
+    )
+    purchases = (
+        src()
+        .where(F.col("value") % JOIN_RIGHT_KEEP == 0)
+        .select(
+            F.col("value").alias("purchase_id"),
+            (F.col("value") % JOIN_USERS).alias("p_user"),
+            F.col("timestamp").alias("p_ts"),
+        )
+        .withColumn(
+            "p_salt",
+            F.explode(F.array(*[F.lit(i).cast("int") for i in range(JOIN_SALT)])),
+        )
+        .withWatermark("p_ts", "10 seconds")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_salt") == F.col("p_salt"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 SECONDS")),
+        "inner",
+    ).select("click_id", "purchase_id", "c_user")
+
+
 def build_pipeline(spark, rows_per_batch: int, partitions: int, mode: str):
     """rate-micro-batch source -> synth doc -> codegen score -> keep/drop."""
+    if mode == "interval-join":
+        return build_interval_join(spark, rows_per_batch, partitions)
     src = (
         spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", str(rows_per_batch))
@@ -116,7 +185,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seconds", type=int, default=60)
     ap.add_argument("--rows-per-batch", type=int, default=1_000_000)
-    ap.add_argument("--mode", choices=("stateless", "stateful"), default="stateless")
+    ap.add_argument(
+        "--mode",
+        choices=("stateless", "stateful", "interval-join"),
+        default="stateless",
+    )
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("--out", default=None, help="JSON output path (default: print only)")
     a = ap.parse_args()
