@@ -71,7 +71,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "text_quality_stats",
     "token_count_estimate",
     "dedup_exact_docs",
-    "neardup_jaccard_pairs",
     "neardup_minhash_lsh_pairs",
     "simhash_docs",
     "neardup_components",
@@ -122,7 +121,15 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "cbo_join_reorder",
     "streaming_salted_interval_join",
     "pagerank_transitions",
+    # round-8 addition, driver-verified from day one: the real WAV/PCM
+    # audio decode (plans/extras25.py) — the audio modality's analogue of
+    # multimodal_decode_png. Its slot was neardup_jaccard_pairs, redundant
+    # in-window (near-dup still witnessed by minhash-LSH, simhash,
+    # components, embedding-LSH and semdedup); jaccard stays oracle-checked
+    # from position 51+, as does the windowed audio_frame_energy twin.
+    "multimodal_decode_wav",
     # position 51+: operator ids above already covered elsewhere
+    "neardup_jaccard_pairs",
     "doc_fingerprint_md5",
     "winnow_neardup_pairs",
     "ann_lsh_topk",
@@ -189,6 +196,7 @@ def all_queries() -> dict[str, Query]:
         extras22,
         extras23,
         extras24,
+        extras25,
     )
 
     out: dict[str, Query] = {}
@@ -215,6 +223,7 @@ def all_queries() -> dict[str, Query]:
         extras22,
         extras23,
         extras24,
+        extras25,
     ):
         for q in mod.QUERIES:
             if q.name in out:

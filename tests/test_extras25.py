@@ -1,0 +1,127 @@
+"""Round-8 wave: real WAV/PCM audio decode through the multimodal slot."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from bridge_monitoring_pyspark_spark.operators.multimodal import (
+    _wav_decode,
+    synth_wav,
+)
+from bridge_monitoring_pyspark_spark.plans.catalog import all_queries
+
+from testdata_paths import SF_SMOKE
+
+
+def _chunk(cid: bytes, body: bytes) -> bytes:
+    return cid + struct.pack("<I", len(body)) + body + b"\x00" * (len(body) & 1)
+
+
+def _wav(fmt_body: bytes, data: bytes, extra: bytes = b"") -> bytes:
+    chunks = _chunk(b"fmt ", fmt_body) + extra + _chunk(b"data", data)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def _pcm16_fmt(channels: int = 1, rate: int = 8000) -> bytes:
+    align = channels * 2
+    return struct.pack("<HHIIHH", 1, channels, rate, rate * align, align, 16)
+
+
+def test_wav_roundtrip_matches_closed_form():
+    # ids chosen to hit mono AND stereo, every rate residue, and both
+    # odd and even LIST-chunk body lengths (the RIFF pad-byte path)
+    for doc_id in (0, 1, 2, 3, 4, 9, 56, 57, 123, 4567):
+        wav = _wav_decode(synth_wav(doc_id))
+        ch, nf = 1 + doc_id % 2, 64 + doc_id % 57
+        assert wav["channels"] == ch
+        assert wav["n_frames"] == nf
+        assert wav["sample_rate"] == 8000 + 1000 * (doc_id % 5)
+        assert wav["bits"] == 16
+        i = np.arange(nf * ch)
+        expected = ((doc_id * 31 + i * 97) % 4096) - 2048
+        assert (wav["samples"].ravel() == expected).all()
+        assert wav["samples"].shape == (nf, ch)
+
+
+def test_wav_decode_pcm8_unsigned_centered():
+    # 8-bit PCM is unsigned; 128 is silence. Odd data size exercises the
+    # data chunk's own pad byte.
+    d = _wav_decode(_wav(struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8),
+                         bytes([0, 128, 255])))
+    assert d["bits"] == 8
+    assert d["samples"].ravel().tolist() == [-128, 0, 127]
+
+
+def test_wav_decode_skips_ancillary_chunks():
+    pcm = struct.pack("<4h", 100, -100, 200, -200)
+    extra = _chunk(b"LIST", b"INFOICMT" + struct.pack("<I", 5) + b"abcd\x00")
+    d = _wav_decode(_wav(_pcm16_fmt(), pcm, extra=extra))
+    assert d["samples"].ravel().tolist() == [100, -100, 200, -200]
+
+
+def test_wav_decode_rejects_corrupt_input():
+    good = synth_wav(7)
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        _wav_decode(b"X" + good[1:])
+    with pytest.raises(ValueError, match="RIFF size"):
+        _wav_decode(good[:-1])
+    with pytest.raises(ValueError, match="truncated"):
+        # valid RIFF size but a chunk body cut short
+        trunc = good[:40]
+        _wav_decode(trunc[:4] + struct.pack("<I", len(trunc) - 8) + trunc[8:])
+    with pytest.raises(ValueError, match="only PCM"):
+        bad = bytearray(good)
+        struct.pack_into("<H", bad, good.index(b"fmt ") + 8, 3)  # IEEE float
+        _wav_decode(bytes(bad))
+    with pytest.raises(ValueError, match="block align"):
+        fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 2, 16)  # align lies
+        _wav_decode(_wav(fmt, b"\x00" * 8))
+    with pytest.raises(ValueError, match="whole number of frames"):
+        _wav_decode(_wav(_pcm16_fmt(channels=2), b"\x00" * 6))
+    with pytest.raises(ValueError, match="data chunk before fmt"):
+        chunks = _chunk(b"data", b"\x00\x00") + _chunk(b"fmt ", _pcm16_fmt())
+        _wav_decode(b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks)
+    with pytest.raises(ValueError, match="missing fmt or data"):
+        chunks = _chunk(b"fmt ", _pcm16_fmt())
+        _wav_decode(b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks)
+
+
+def test_decode_audio_stats_matches_numpy(spark):
+    rows = (
+        all_queries()["multimodal_decode_wav"].build(spark, SF_SMOKE).collect()
+    )
+    assert rows, "empty decode output"
+    for r in rows[:20]:
+        wav = _wav_decode(synth_wav(r.doc_id))
+        s = wav["samples"].astype(np.int64)
+        ch0 = s[:, 0]
+        nonneg = ch0 >= 0
+        assert r.sample_rate == wav["sample_rate"]
+        assert r.channels == wav["channels"]
+        assert r.n_frames == wav["n_frames"]
+        assert r.sum_samples == int(s.sum())
+        assert r.sum_abs == int(np.abs(s).sum())
+        assert r.peak_abs == int(np.abs(s).max())
+        assert r.zero_cross == int((nonneg[1:] != nonneg[:-1]).sum())
+
+
+def test_audio_frame_energy_windows(spark):
+    rows = (
+        all_queries()["audio_frame_energy"].build(spark, SF_SMOKE).collect()
+    )
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_id, wins in list(by_doc.items())[:10]:
+        ch0 = _wav_decode(synth_wav(doc_id))["samples"][:, 0].astype(np.int64)
+        wins.sort(key=lambda r: r.window_idx)
+        assert [w.window_idx for w in wins] == list(range(len(wins)))
+        assert sum(w.win_frames for w in wins) == len(ch0)
+        for w in wins:
+            seg = ch0[w.window_idx * 16 : w.window_idx * 16 + 16]
+            assert w.win_frames == len(seg)
+            assert w.energy == int((seg * seg).sum())

@@ -122,10 +122,12 @@ def _transform_copy(table: str, t: pa.Table, copy: int, strides: dict[str, int])
     return pa.table(cols, schema=t.schema)
 
 
-def scale(src: str, dst: str, factor: int) -> None:
+def scale(src: str, dst: str, factor: int, only: set[str] | None = None) -> None:
     os.makedirs(dst, exist_ok=True)
     strides = _space_strides(src)
     tables = list(FIXED_TABLES) + list(KEY_SPACES)
+    if only:
+        tables = [t for t in tables if t in only]
     for table in tables:
         path = os.path.join(src, f"{table}.parquet")
         t = pq.read_table(path)
@@ -148,8 +150,11 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale", "sf1"))
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--tables", default=None,
+                    help="comma-list subset of tables to generate (e.g. "
+                         "'documents,embeddings' for a vectors-only decade run)")
     a = ap.parse_args()
-    scale(a.src, a.dst, a.factor)
+    scale(a.src, a.dst, a.factor, set(a.tables.split(",")) if a.tables else None)
 
 
 if __name__ == "__main__":
