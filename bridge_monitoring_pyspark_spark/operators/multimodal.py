@@ -109,13 +109,63 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+# Adam7 interlace pass geometry: (x_start, y_start, x_step, y_step) per
+# pass, PNG spec §8.2. Each pass is serialized as its own filtered
+# mini-image; passes with zero width or height contribute no bytes.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int):
+    """Reverse PNG scanline filtering over an ``h x (stride+1)`` filtered
+    raster (each row = 1 filter-type byte + ``stride`` data bytes),
+    returning the reconstructed ``(h, stride)`` uint8 array. ``bpp`` is
+    bytes per complete pixel — the left-neighbor distance, which is what
+    makes this helper shared between 8-/16-bit and per-Adam7-pass decode
+    (a pass is just a smaller image with the same bpp)."""
+    import numpy as np
+
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:]
+        prev = recon[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:  # None
+            recon[y] = cur
+        elif ftype == 1:  # Sub — per-lane prefix sum (mod distributes)
+            for lane in range(bpp):
+                recon[y, lane::bpp] = np.cumsum(
+                    cur[lane::bpp], dtype=np.int64
+                ) & 0xFF
+        elif ftype == 2:  # Up — no left dependency, vectorized
+            recon[y] = cur + prev  # uint8 wraps mod 256 by construction
+        elif ftype in (3, 4):  # Average / Paeth — left-sequential
+            r = recon[y]
+            for x in range(stride):
+                a = int(r[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                pred = (a + b) >> 1 if ftype == 3 else _paeth(a, b, c)
+                r[x] = (int(cur[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype} on row {y}")
+    return recon
+
+
 def _png_decode(buf: bytes) -> dict:
     """Stdlib-only PNG decoder: signature check, chunk walk with CRC
     verification, zlib inflate of the IDAT stream, and per-row reversal of
     all five scanline filters (None/Sub/Up/Average/Paeth). Supports bit
-    depth 8, color types 0/2/3/4/6 (palette expanded via PLTE), no
-    interlace. Truncated or corrupt input fails loudly — a silent partial
-    decode would poison downstream pixel statistics.
+    depths 8 and 16 (16-bit samples are big-endian per spec), color types
+    0/2/3/4/6 (palette expanded via PLTE), and both interlace methods —
+    progressive (Adam7) images are reassembled from the seven per-pass
+    mini-rasters, each unfiltered with its own pass geometry. Sub-byte
+    depths (1/2/4) remain unimplemented. Truncated or corrupt input fails
+    loudly — a silent partial decode would poison downstream pixel
+    statistics.
 
     The filter-reversal loop is per-byte Python for Sub/Average/Paeth
     (sequential left-dependency); fine for fixture-scale images — a 100 TB
@@ -159,50 +209,51 @@ def _png_decode(buf: bytes) -> dict:
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
     if comp != 0 or filt != 0:
         raise ValueError(f"bad IHDR compression/filter method {comp}/{filt}")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlaced PNG not supported")
-    if depth != 8:
-        raise NotImplementedError(f"only 8-bit PNG supported, depth={depth}")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad IHDR interlace method {interlace}")
+    if depth not in (8, 16):
+        raise NotImplementedError(
+            f"sub-byte PNG depths not supported, depth={depth}"
+        )
     channels = _PNG_CHANNELS.get(color)
     if channels is None:
         raise ValueError(f"bad PNG color type {color}")
+    if color == 3 and depth == 16:
+        raise ValueError("palette PNG with 16-bit depth is not legal")
     if color == 3 and (plte is None or len(plte) % 3):
         raise ValueError("palette PNG without a valid PLTE chunk")
     if w <= 0 or h <= 0:
         raise ValueError(f"bad PNG dimensions {w}x{h}")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) != h * (stride + 1):
-        raise ValueError(
-            f"bad raster length {len(raw)} for {w}x{h}x{channels}"
-        )
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    recon = np.zeros((h, stride), dtype=np.uint8)
-    bpp = channels  # bytes per complete pixel at depth 8
-    for y in range(h):
-        ftype = int(rows[y, 0])
-        cur = rows[y, 1:]
-        prev = recon[y - 1] if y else np.zeros(stride, dtype=np.uint8)
-        if ftype == 0:  # None
-            recon[y] = cur
-        elif ftype == 1:  # Sub — per-lane prefix sum (mod distributes)
-            for lane in range(bpp):
-                recon[y, lane::bpp] = np.cumsum(
-                    cur[lane::bpp], dtype=np.int64
-                ) & 0xFF
-        elif ftype == 2:  # Up — no left dependency, vectorized
-            recon[y] = cur + prev  # uint8 wraps mod 256 by construction
-        elif ftype in (3, 4):  # Average / Paeth — left-sequential
-            r = recon[y]
-            for x in range(stride):
-                a = int(r[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
-                pred = (a + b) >> 1 if ftype == 3 else _paeth(a, b, c)
-                r[x] = (int(cur[x]) + pred) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ftype} on row {y}")
-    if color == 3:  # expand palette indices to RGB
+    bps = depth // 8  # bytes per sample
+    bpp = channels * bps  # bytes per complete pixel (left-neighbor distance)
+    if interlace == 0:
+        stride = w * bpp
+        if len(raw) != h * (stride + 1):
+            raise ValueError(
+                f"bad raster length {len(raw)} for {w}x{h}x{channels}"
+            )
+        recon = _png_unfilter(raw, h, stride, bpp)
+    else:  # Adam7: seven independent filtered mini-rasters, scattered back
+        img = np.zeros((h, w, bpp), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * bpp
+            need = ph * (pstride + 1)
+            sub = raw[pos : pos + need]
+            if len(sub) != need:
+                raise ValueError("bad raster length (interlaced pass)")
+            pos += need
+            prec = _png_unfilter(sub, ph, pstride, bpp)
+            img[y0::dy, x0::dx, :] = prec.reshape(ph, pw, bpp)
+        if pos != len(raw):
+            raise ValueError("trailing raster bytes (interlaced)")
+        recon = img.reshape(h, w * bpp)
+    if color == 3:  # expand palette indices to RGB (depth 8 only, enforced)
         pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         if int(recon.max(initial=0)) >= len(pal):
             raise ValueError("palette index out of range")
@@ -212,11 +263,16 @@ def _png_decode(buf: bytes) -> dict:
             "channels": 3,
             "pixels": pal[recon.reshape(h, w)],
         }
+    if bps == 2:  # big-endian 16-bit samples
+        b2 = recon.reshape(h, w, channels, 2).astype(np.uint16)
+        pixels = (b2[..., 0] << 8) | b2[..., 1]
+    else:
+        pixels = recon.reshape(h, w, channels)
     return {
         "width": w,
         "height": h,
         "channels": channels,
-        "pixels": recon.reshape(h, w, channels),
+        "pixels": pixels,
     }
 
 
@@ -263,25 +319,14 @@ def synth_ppm(doc_id: int) -> bytes:
     return f"P6\n# synth {doc_id}\n{w} {h}\n255\n".encode() + pix.tobytes()
 
 
-def synth_png(doc_id: int) -> bytes:
-    """Deterministic RGB PNG fixture for ``doc_id`` — same dims and pixel
-    function as :func:`synth_ppm` (width 4 + id%5, height 3 + id%4, byte
-    i = (id*7 + i*13) % 256) so the SQL oracle is shared; row ``y`` is
-    encoded with scanline filter type ``y % 5``, so every filter
-    (None/Sub/Up/Average/Paeth) is exercised across the corpus and the
-    decoder's reversal of each is what the oracle compare actually
-    checks. An ancillary tEXt chunk is included so the skip path runs."""
-    import struct
-    import zlib
-
+def _png_filter_scanlines(pix, bpp: int, phase: int = 0) -> bytes:
+    """Forward-filter a raw-byte raster ``pix`` of shape (rows, stride),
+    encoding row ``y`` with scanline filter type ``(phase + y) % 5`` so
+    every filter (None/Sub/Up/Average/Paeth) appears across any raster of
+    >= 5 rows. Fully vectorizable: every predictor reads RAW (== recon)
+    neighbors, so left/up/up-left are just shifted views."""
     import numpy as np
 
-    w, h = 4 + doc_id % 5, 3 + doc_id % 4
-    i = np.arange(w * h * 3, dtype=np.int64)
-    pix = ((doc_id * 7 + i * 13) % 256).reshape(h, w * 3)  # int64 raw bytes
-    stride, bpp = w * 3, 3
-    # Forward filtering is fully vectorizable: every predictor reads RAW
-    # (== recon) neighbors, so left/up/up-left are just shifted views.
     left = np.zeros_like(pix)
     left[:, bpp:] = pix[:, :-bpp]
     up = np.zeros_like(pix)
@@ -295,40 +340,116 @@ def synth_png(doc_id: int) -> bytes:
     )
     preds = (np.zeros_like(pix), left, up, (left + up) >> 1, paeth)
     filtered = bytearray()
-    for y in range(h):
-        ftype = y % 5
+    for y in range(pix.shape[0]):
+        ftype = (phase + y) % 5
         filtered.append(ftype)
         filtered.extend(((pix[y] - preds[ftype][y]) & 0xFF).astype(np.uint8).tobytes())
+    return bytes(filtered)
 
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def synth_png(doc_id: int, interlaced: bool = False) -> bytes:
+    """Deterministic RGB PNG fixture for ``doc_id`` — same dims and pixel
+    function as :func:`synth_ppm` (width 4 + id%5, height 3 + id%4, byte
+    i = (id*7 + i*13) % 256) so the SQL oracle is shared; row ``y`` is
+    encoded with scanline filter type ``y % 5``, so every filter
+    (None/Sub/Up/Average/Paeth) is exercised across the corpus and the
+    decoder's reversal of each is what the oracle compare actually
+    checks. An ancillary tEXt chunk is included so the skip path runs.
+
+    With ``interlaced=True`` the same pixels are serialized Adam7: seven
+    per-pass filtered mini-rasters (pass ``p`` filtered with phase ``p``
+    so filter variety survives the tiny pass heights). Decoded output is
+    identical either way — which is exactly what lets the catalog witness
+    mix interlaced and progressive fixtures under one unchanged oracle."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+    i = np.arange(w * h * 3, dtype=np.int64)
+    pix = ((doc_id * 7 + i * 13) % 256).reshape(h, w * 3)  # int64 raw bytes
+    bpp = 3
+    if interlaced:
+        pix3 = pix.reshape(h, w, 3)
+        parts = []
+        for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+            sub = pix3[y0::dy, x0::dx, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(
+                _png_filter_scanlines(
+                    sub.reshape(sub.shape[0], -1), bpp, phase=pi
+                )
+            )
+        filtered = b"".join(parts)
+    else:
+        filtered = _png_filter_scanlines(pix, bpp)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, int(interlaced))
     return (
         _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"tEXt", b"Comment\x00synth " + str(doc_id).encode())
-        + chunk(b"IDAT", zlib.compress(bytes(filtered)))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"tEXt", b"Comment\x00synth " + str(doc_id).encode())
+        + _png_chunk(b"IDAT", zlib.compress(filtered))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def synth_png16(doc_id: int) -> bytes:
+    """Deterministic 16-bit grayscale PNG fixture: width 4 + id%5, height
+    3 + id%4, sample i = (id*9 + i*257) % 65536 stored big-endian — the
+    16-bit leg of the decoder exercised with the same closed-form-replay
+    contract as the 8-bit fixtures (filter type y % 5 with bpp=2, so the
+    left-neighbor distance the 16-bit path changes is what the roundtrip
+    actually checks)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    w, h = 4 + doc_id % 5, 3 + doc_id % 4
+    i = np.arange(w * h, dtype=np.int64)
+    s = (doc_id * 9 + i * 257) % 65536
+    raw = np.stack([s >> 8, s & 0xFF], axis=1).reshape(h, w * 2)
+    filtered = _png_filter_scanlines(raw, bpp=2)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)  # 16-bit gray
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(filtered))
+        + _png_chunk(b"IEND", b"")
     )
 
 
 def with_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Attach the :func:`synth_png` fixture image as a binary payload
     column via an Arrow batch pass (same plumbing as
-    :func:`with_ppm_payload`)."""
+    :func:`with_ppm_payload`). Every third document is encoded Adam7
+    interlaced — decoded pixels are identical, so the oracle is unchanged
+    while the interlaced reassembly path is hash-checked end-to-end."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "payload": [synth_png(int(d)) for d in pdf[id_col]],
+                    "payload": [
+                        synth_png(int(d), interlaced=int(d) % 3 == 0)
+                        for d in pdf[id_col]
+                    ],
                 }
             )
 

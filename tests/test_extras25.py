@@ -89,6 +89,87 @@ def test_wav_decode_rejects_corrupt_input():
         _wav_decode(b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks)
 
 
+def test_png_adam7_decodes_same_pixels_as_progressive():
+    from bridge_monitoring_pyspark_spark.operators.multimodal import (
+        _png_decode,
+        synth_png,
+    )
+
+    for doc_id in range(20):  # every (w, h) combo of the fixture grid
+        prog = _png_decode(synth_png(doc_id))
+        adam = _png_decode(synth_png(doc_id, interlaced=True))
+        assert np.array_equal(prog["pixels"], adam["pixels"]), doc_id
+
+
+def test_png_adam7_large_and_degenerate_dims():
+    # Dims > 8 exercise every pass with multiple rows/cols; tiny dims
+    # exercise the empty-pass skip on both encoder and decoder.
+    import zlib
+
+    from bridge_monitoring_pyspark_spark.operators.multimodal import (
+        _ADAM7,
+        _PNG_SIG,
+        _png_chunk,
+        _png_decode,
+        _png_filter_scanlines,
+    )
+
+    rng = np.random.default_rng(7)
+    for w, h in [(16, 12), (9, 9), (1, 1), (2, 3), (8, 1), (1, 9)]:
+        pix3 = rng.integers(0, 256, size=(h, w, 3)).astype(np.int64)
+        parts = []
+        for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+            sub = pix3[y0::dy, x0::dx, :]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            parts.append(
+                _png_filter_scanlines(sub.reshape(sub.shape[0], -1), 3, phase=pi)
+            )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+        buf = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"".join(parts)))
+               + _png_chunk(b"IEND", b""))
+        assert np.array_equal(_png_decode(buf)["pixels"], pix3), (w, h)
+
+
+def test_png_adam7_rejects_short_and_trailing_raster():
+    import zlib
+
+    from bridge_monitoring_pyspark_spark.operators.multimodal import (
+        _PNG_SIG,
+        _png_chunk,
+        _png_decode,
+    )
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)  # gray 1x1 Adam7
+
+    def img(raw: bytes) -> bytes:
+        return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(raw))
+                + _png_chunk(b"IEND", b""))
+
+    assert _png_decode(img(b"\x00\x09"))["pixels"].tolist() == [[[9]]]
+    with pytest.raises(ValueError, match="interlaced"):
+        _png_decode(img(b"\x00"))  # pass cut short
+    with pytest.raises(ValueError, match="trailing"):
+        _png_decode(img(b"\x00\x09\xff"))  # bytes after the last pass
+
+
+def test_png16_matches_closed_form():
+    from bridge_monitoring_pyspark_spark.operators.multimodal import (
+        _png_decode,
+        synth_png16,
+    )
+
+    for doc_id in (0, 5, 11, 123):
+        got = _png_decode(synth_png16(doc_id))
+        w, h = 4 + doc_id % 5, 3 + doc_id % 4
+        i = np.arange(w * h)
+        expected = ((doc_id * 9 + i * 257) % 65536).reshape(h, w, 1)
+        assert got["pixels"].dtype == np.uint16
+        assert np.array_equal(got["pixels"], expected), doc_id
+
+
 def test_decode_audio_stats_matches_numpy(spark):
     rows = (
         all_queries()["multimodal_decode_wav"].build(spark, SF_SMOKE).collect()

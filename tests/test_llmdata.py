@@ -186,9 +186,9 @@ def test_decode_media_unsupported_formats_still_raise():
 def test_decode_media_png_real():
     """The stdlib PNG decoder is real: per-filter round trips (all five
     scanline filter types, including images tall enough that Average and
-    Paeth rows appear), gray/palette color types, ancillary-chunk skip,
-    and loud failures on truncation, CRC corruption, interlace, and
-    16-bit depth."""
+    Paeth rows appear), gray/palette color types, 16-bit and Adam7
+    minimal cases, ancillary-chunk skip, and loud failures on truncation,
+    CRC corruption, sub-byte depths, and 16-bit palette."""
     import struct
     import zlib
 
@@ -264,15 +264,28 @@ def test_decode_media_png_real():
     idx = good.find(b"IDAT") + 10  # flip a byte inside IDAT data
     with pytest.raises(ValueError, match="CRC"):
         _png_decode(good[:idx] + bytes([good[idx] ^ 0xFF]) + good[idx + 1:])
+    # 16-bit and Adam7 are implemented (round-8): 1x1 minimal cases decode.
     ihdr16 = struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)
-    with pytest.raises(NotImplementedError, match="8-bit"):
-        _png_decode(sig + chunk(b"IHDR", ihdr16)
-                    + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
-                    + chunk(b"IEND", b""))
+    got16 = _png_decode(sig + chunk(b"IHDR", ihdr16)
+                        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
+                        + chunk(b"IEND", b""))
+    assert got16["pixels"].tolist() == [[[0x0102]]]
     ihdr_i = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1)
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        _png_decode(sig + chunk(b"IHDR", ihdr_i)
+    got_i = _png_decode(sig + chunk(b"IHDR", ihdr_i)
+                        + chunk(b"IDAT", zlib.compress(b"\x00\x2a"))
+                        + chunk(b"IEND", b""))
+    assert got_i["pixels"].tolist() == [[[0x2a]]]
+    # Sub-byte depths remain unimplemented; 16-bit palette is illegal.
+    ihdr4 = struct.pack(">IIBBBBB", 1, 1, 4, 0, 0, 0, 0)
+    with pytest.raises(NotImplementedError, match="sub-byte"):
+        _png_decode(sig + chunk(b"IHDR", ihdr4)
                     + chunk(b"IDAT", zlib.compress(b"\x00\x00"))
+                    + chunk(b"IEND", b""))
+    ihdr_p16 = struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)
+    with pytest.raises(ValueError, match="not legal"):
+        _png_decode(sig + chunk(b"IHDR", ihdr_p16)
+                    + chunk(b"PLTE", bytes([0, 0, 0]))
+                    + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
                     + chunk(b"IEND", b""))
 
 
