@@ -74,7 +74,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "neardup_minhash_lsh_pairs",
     "simhash_docs",
     "neardup_components",
-    "ann_cosine_topk",
     # round-8 addition, driver-verified from day one: SemDeDup
     # cluster-blocked semantic dedup (plans/extras24.py). Its slot was the
     # IVF ANN tier — ANN stays witnessed in-window by the brute-force and
@@ -128,7 +127,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # components, embedding-LSH and semdedup); jaccard stays oracle-checked
     # from position 51+, as does the windowed audio_frame_energy twin.
     "multimodal_decode_wav",
+    # round-8 addition, driver-verified from day one: real Y4M video
+    # decode with frame sampling (plans/extras25.py) — the video
+    # modality's real-decode witness. Its slot was ann_cosine_topk,
+    # redundant in-window (ANN still witnessed by the PQ tier; the
+    # brute-force cosine baseline stays oracle-checked from 51+).
+    "video_frame_luma",
     # position 51+: operator ids above already covered elsewhere
+    "ann_cosine_topk",
     "neardup_jaccard_pairs",
     "doc_fingerprint_md5",
     "winnow_neardup_pairs",

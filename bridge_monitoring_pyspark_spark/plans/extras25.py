@@ -1,4 +1,5 @@
-"""Round-8 extension wave: real audio decode through the multimodal slot.
+"""Round-8 extension wave: real audio AND video decode through the
+multimodal slot.
 
 Round 7 made the image modality real (stdlib PNG decoder,
 ``multimodal_decode_png``); this wave does the same for audio. WAV/PCM is
@@ -128,9 +129,98 @@ ORDER BY doc_id, window_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# Video: Y4M (YUV4MPEG2) — the uncompressed interchange format video
+# toolchains pipe between codecs — decodes with pure stdlib/numpy, making
+# the video modality real the same way PNG did images and WAV did audio.
+# Compressed codecs (h264/vp9/av1) still raise from decode_media's
+# documented boundary; the Spark-side plumbing is identical either way.
+
+_Y4M_PRELUDE = """
+WITH dims AS (
+  SELECT doc_id, 4 + 2*(doc_id % 3) AS w, 4 + 2*(doc_id % 2) AS h,
+         3 + doc_id % 4 AS nf
+  FROM documents
+)
+"""
+
+
+def _video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling: a deterministic C420 Y4M clip per
+    document is attached as a binary payload, then
+    operators/multimodal._y4m_decode parses the stream header, FRAME
+    markers (including a parameter-string frame) and planar rasters, and
+    every 2nd frame's luma plane yields exact integer statistics. The
+    oracle replays the closed-form luma function
+    ((id*11 + f*131 + i*17) % 256); the chroma planes use a different
+    form, so any plane misalignment in the decoder is a hash fail."""
+    from ..operators.multimodal import decode_video_frames, with_y4m_payload
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_video_frames(with_y4m_payload(d)).orderBy("doc_id", "frame_idx")
+
+
+_VIDEO_FRAME_SQL = _Y4M_PRELUDE + """
+, fr AS (
+  SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS f FROM dims
+), px AS (
+  SELECT doc_id, w, h, f, unnest(generate_series(0, w*h - 1)) AS i
+  FROM fr WHERE f % 2 = 0
+), v AS (
+  SELECT doc_id, w, h, f, (doc_id*11 + f*131 + i*17) % 256 AS y FROM px
+)
+SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+       CAST(max(w) AS INTEGER) AS width, CAST(max(h) AS INTEGER) AS height,
+       CAST(sum(y) AS BIGINT) AS luma_sum,
+       CAST(min(y) AS INTEGER) AS luma_min,
+       CAST(max(y) AS INTEGER) AS luma_max
+FROM v GROUP BY doc_id, f
+ORDER BY doc_id, frame_idx
+"""
+
+
+def _video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over REAL decoded video: per-clip consecutive
+    frame luma deltas (sum of absolute differences, exact integers), cut
+    = mean |delta| above threshold 40. The shot-boundary pass a video
+    curation pipeline runs before sampling training clips. Temporal state
+    stays inside one clip = one row — embarrassingly parallel."""
+    from ..operators.multimodal import scene_cut_stats, with_y4m_payload
+
+    d = load_table(spark, sf_dir, "documents")
+    return scene_cut_stats(with_y4m_payload(d)).orderBy("doc_id")
+
+
+_SCENE_CUT_SQL = _Y4M_PRELUDE + """
+, fr AS (
+  SELECT doc_id, w, h, nf, unnest(generate_series(1, nf - 1)) AS f FROM dims
+), px AS (
+  SELECT doc_id, w, h, nf, f, unnest(generate_series(0, w*h - 1)) AS i
+  FROM fr
+), d AS (
+  SELECT doc_id, nf, w*h AS npx, f,
+         abs((doc_id*11 + f*131 + i*17) % 256
+             - (doc_id*11 + (f-1)*131 + i*17) % 256) AS ad
+  FROM px
+), per_f AS (
+  SELECT doc_id, nf, npx, f, sum(ad) AS delta
+  FROM d GROUP BY doc_id, nf, npx, f
+)
+SELECT doc_id, CAST(max(nf) AS INTEGER) AS n_frames,
+       CAST(sum(CASE WHEN delta > 40*npx THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       CAST(max(delta) AS BIGINT) AS max_delta
+FROM per_f GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     Query("multimodal_decode_wav", _multimodal_decode_wav, _DECODE_WAV_SQL,
           ("llm", "multimodal", "decode", "audio")),
     Query("audio_frame_energy", _audio_frame_energy, _FRAME_ENERGY_SQL,
           ("llm", "multimodal", "audio", "energy")),
+    Query("video_frame_luma", _video_frame_luma, _VIDEO_FRAME_SQL,
+          ("llm", "multimodal", "decode", "video")),
+    Query("video_scene_cuts", _video_scene_cuts, _SCENE_CUT_SQL,
+          ("llm", "multimodal", "video", "scene-cut")),
 ]

@@ -170,6 +170,101 @@ def test_png16_matches_closed_form():
         assert np.array_equal(got["pixels"], expected), doc_id
 
 
+def test_y4m_roundtrip_matches_closed_form():
+    from bridge_monitoring_pyspark_spark.operators.multimodal import (
+        _y4m_decode,
+        synth_y4m,
+    )
+
+    for doc_id in range(12):  # every (w, h, nf, fps) combo
+        v = _y4m_decode(synth_y4m(doc_id))
+        w, h, nf = 4 + 2 * (doc_id % 3), 4 + 2 * (doc_id % 2), 3 + doc_id % 4
+        assert (v["width"], v["height"], v["n_frames"]) == (w, h, nf)
+        assert (v["fps_num"], v["fps_den"]) == (24 + doc_id % 2, 1)
+        i = np.arange(w * h)
+        for f in range(nf):
+            expected = ((doc_id * 11 + f * 131 + i * 17) % 256).reshape(h, w)
+            assert np.array_equal(v["frames"][f], expected), (doc_id, f)
+
+
+def test_y4m_colorspace_variants_and_default():
+    from bridge_monitoring_pyspark_spark.operators.multimodal import _y4m_decode
+
+    v = _y4m_decode(b"YUV4MPEG2 W2 H2 F30:1 C444\n"
+                    b"FRAME\n" + bytes(range(12)))
+    assert v["frames"][0].tolist() == [[0, 1], [2, 3]]
+    v = _y4m_decode(b"YUV4MPEG2 W2 H2 F30:1 Cmono\n"
+                    b"FRAME\n" + bytes([9, 8, 7, 6]))
+    assert v["frames"][0].tolist() == [[9, 8], [7, 6]]
+    v = _y4m_decode(b"YUV4MPEG2 W2 H4 F30:1 C422\n"
+                    b"FRAME\n" + bytes(16))  # 8 luma + 2*(1*4) chroma
+    assert v["n_frames"] == 1
+    # no C tag -> spec default C420jpeg
+    v = _y4m_decode(b"YUV4MPEG2 W2 H2 F30:1\n" + b"FRAME\n" + bytes(6))
+    assert v["colorspace"] == "420jpeg"
+
+
+def test_y4m_rejects_corrupt_input():
+    from bridge_monitoring_pyspark_spark.operators.multimodal import (
+        _y4m_decode,
+        synth_y4m,
+    )
+
+    good = synth_y4m(3)
+    with pytest.raises(ValueError, match="YUV4MPEG2"):
+        _y4m_decode(b"XUV" + good[3:])
+    with pytest.raises(ValueError, match="truncated frame"):
+        _y4m_decode(good[:-1])
+    with pytest.raises(ValueError, match="FRAME marker"):
+        _y4m_decode(good.replace(b"FRAME Xsynth", b"FRAMI Xsynth"))
+    with pytest.raises(ValueError, match="even dimensions"):
+        _y4m_decode(b"YUV4MPEG2 W5 H4 F25:1 C420jpeg\n")
+    with pytest.raises(NotImplementedError, match="colorspace"):
+        _y4m_decode(good.replace(b"C420jpeg", b"C411what"))
+
+
+def test_video_frame_luma_samples_even_frames(spark):
+    rows = all_queries()["video_frame_luma"].build(spark, SF_SMOKE).collect()
+    from bridge_monitoring_pyspark_spark.operators.multimodal import (
+        _y4m_decode,
+        synth_y4m,
+    )
+
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_id, frames in list(by_doc.items())[:10]:
+        vid = _y4m_decode(synth_y4m(doc_id))
+        assert [r.frame_idx for r in sorted(frames, key=lambda r: r.frame_idx)] \
+            == list(range(0, vid["n_frames"], 2))
+        for r in frames:
+            luma = vid["frames"][r.frame_idx].astype(np.int64)
+            assert r.luma_sum == int(luma.sum())
+            assert (r.luma_min, r.luma_max) == (int(luma.min()), int(luma.max()))
+
+
+def test_scene_cut_stats_matches_numpy(spark):
+    rows = all_queries()["video_scene_cuts"].build(spark, SF_SMOKE).collect()
+    from bridge_monitoring_pyspark_spark.operators.multimodal import (
+        _y4m_decode,
+        synth_y4m,
+    )
+
+    assert rows
+    for r in rows[:10]:
+        vid = _y4m_decode(synth_y4m(r.doc_id))
+        n_px = vid["width"] * vid["height"]
+        deltas = [
+            int(np.abs(vid["frames"][f].astype(np.int64)
+                       - vid["frames"][f - 1].astype(np.int64)).sum())
+            for f in range(1, vid["n_frames"])
+        ]
+        assert r.n_frames == vid["n_frames"]
+        assert r.n_cuts == sum(1 for d in deltas if d > 40 * n_px)
+        assert r.max_delta == max(deltas)
+
+
 def test_decode_audio_stats_matches_numpy(spark):
     rows = (
         all_queries()["multimodal_decode_wav"].build(spark, SF_SMOKE).collect()
