@@ -291,6 +291,10 @@ def decode_media(payload: bytes, mime: str) -> object:
     this same slot."""
     if mime == "image/png":
         return _png_decode(bytes(payload))
+    if mime in ("image/jpeg", "image/jpg"):
+        from .jpeg import jpeg_decode
+
+        return jpeg_decode(bytes(payload))
     if mime in ("audio/wav", "audio/x-wav"):
         return _wav_decode(bytes(payload))
     if mime == "video/x-yuv4mpeg":
@@ -461,6 +465,26 @@ def with_png_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                         synth_png(int(d), interlaced=int(d) % 3 == 0)
                         for d in pdf[id_col]
                     ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, "doc_id long, payload binary")
+
+
+def with_jpeg_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the :func:`operators.jpeg.synth_jpeg` fixture as a binary
+    payload column (same Arrow plumbing as the PNG/PPM fixtures). The
+    fixture itself rotates grayscale+restart-marker / 4:4:4 / 4:2:0
+    encodings by ``doc_id % 3`` — all decoding to the same closed-form
+    pixels, so one oracle hash-checks every entropy-coding path."""
+    from .jpeg import synth_jpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [synth_jpeg(int(d)) for d in pdf[id_col]],
                 }
             )
 

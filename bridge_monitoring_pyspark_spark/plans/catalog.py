@@ -72,7 +72,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "token_count_estimate",
     "dedup_exact_docs",
     "neardup_minhash_lsh_pairs",
-    "simhash_docs",
     "neardup_components",
     # round-8 addition, driver-verified from day one: SemDeDup
     # cluster-blocked semantic dedup (plans/extras24.py). Its slot was the
@@ -133,7 +132,15 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # redundant in-window (ANN still witnessed by the PQ tier; the
     # brute-force cosine baseline stays oracle-checked from 51+).
     "video_frame_luma",
+    # round-8 addition, driver-verified from day one: baseline JPEG decode
+    # (plans/extras26.py) — Huffman entropy decode, restart markers,
+    # dequant+IDCT, 4:2:0 MCU reassembly, YCbCr->RGB, none of which the
+    # PNG/PNM decode paths exercise. Its slot was simhash_docs, redundant
+    # in-window (near-dup still witnessed by minhash-LSH, components,
+    # embedding-LSH and semdedup); simhash stays oracle-checked from 51+.
+    "multimodal_decode_jpeg",
     # position 51+: operator ids above already covered elsewhere
+    "simhash_docs",
     "ann_cosine_topk",
     "neardup_jaccard_pairs",
     "doc_fingerprint_md5",
@@ -203,6 +210,7 @@ def all_queries() -> dict[str, Query]:
         extras23,
         extras24,
         extras25,
+        extras26,
     )
 
     out: dict[str, Query] = {}
@@ -230,6 +238,7 @@ def all_queries() -> dict[str, Query]:
         extras23,
         extras24,
         extras25,
+        extras26,
     ):
         for q in mod.QUERIES:
             if q.name in out:
