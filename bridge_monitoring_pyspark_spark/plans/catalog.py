@@ -78,7 +78,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # IVF ANN tier — ANN stays witnessed in-window by the brute-force and
     # PQ tiers, and ann_ivf_topk remains oracle-checked from position 51+.
     "semdedup_prune",
-    "kmeans_embeddings",
     "sequence_packing_stats",
     # round-5 data-selection + sketch headliners (rotated into the capped
     # window per round-5 review; the five slots they took were redundant
@@ -139,7 +138,16 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # in-window (near-dup still witnessed by minhash-LSH, components,
     # embedding-LSH and semdedup); simhash stays oracle-checked from 51+.
     "multimodal_decode_jpeg",
+    # round-8 addition, driver-verified from day one: full iterative BPE
+    # tokenizer training (operators/bpe.py, plans/extras26.py) — N rounds
+    # of pair-count -> argmax -> fold-merge, the driver-loop-over-
+    # distributed-state shape. Its slot was kmeans_embeddings, a
+    # like-for-like swap: the iterative-loop capability stays witnessed
+    # in-window twice (pagerank_transitions + this), and kmeans stays
+    # oracle-checked from position 51+.
+    "bpe_train_merges",
     # position 51+: operator ids above already covered elsewhere
+    "kmeans_embeddings",
     "simhash_docs",
     "ann_cosine_topk",
     "neardup_jaccard_pairs",

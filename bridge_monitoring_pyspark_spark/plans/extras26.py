@@ -64,7 +64,76 @@ FROM sums ORDER BY doc_id
 """
 
 
+BPE_N_MERGES = 8
+
+
+def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative BPE training (operators/bpe.py): BPE_N_MERGES rounds
+    of distributed pair-count -> argmax merge -> fold-apply over the
+    distinct-word vocabulary — the driver-loop-over-distributed-state
+    shape (like k-means / PageRank), with exactly one collected row per
+    round. All per-round work is codegen'd built-ins (transform/aggregate
+    lambdas); no Python UDFs."""
+    from ..operators.bpe import train_bpe
+
+    d = load_table(spark, sf_dir, "documents")
+    return train_bpe(spark, d, BPE_N_MERGES)
+
+
+def _bpe_oracle(n: int) -> str:
+    """Unrolled N-iteration replay of the trainer in one DuckDB statement:
+    per round, pair counts (p_k) -> deterministic argmax (b_k) -> merge
+    application (v_k+1). The merge uses the wrapped-token replace trick:
+    each symbol is wrapped as \\x01<sym>\\x02, so adjacent tokens share no
+    boundary characters, and SQL replace()'s left-to-right non-overlapping
+    scan is then *exactly* the greedy fold in operators/bpe._apply_merge
+    (verified on the 'a a a a' -> 'aa aa' run case). Any divergence in the
+    trainer's merge application or tie-break flips the value hash."""
+    lw = "e'\\x01'"  # token open
+    rw = "e'\\x02'"  # token close
+    sep = "e'\\x02\\x01'"  # boundary between adjacent wrapped tokens
+    parts = [
+        "WITH",
+        r"""v0 AS (
+  SELECT list_append(string_split(w, ''), '</w>') AS syms,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
+  WHERE length(w) >= 1
+  GROUP BY w
+),""",
+    ]
+    for k in range(n):
+        parts.append(f"""p{k} AS (
+  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS n_pairs
+  FROM v{k}, unnest(range(1, len(syms))) AS t(i)
+  GROUP BY 1, 2
+),
+b{k} AS (SELECT l, r, n_pairs FROM p{k} ORDER BY n_pairs DESC, l, r LIMIT 1),
+v{k + 1} AS (
+  SELECT string_split(
+           trim(
+             replace({lw} || array_to_string(v.syms, {sep}) || {rw},
+                     {lw} || b.l || {sep} || b.r || {rw},
+                     {lw} || b.l || b.r || {rw}),
+             e'\\x01\\x02'),
+           {sep}) AS syms,
+         v.cnt AS cnt
+  FROM v{k} v, b{k} b
+),""")
+    union = "\n  UNION ALL ".join(
+        f'SELECT {k + 1} AS rank, l, r, n_pairs FROM b{k}' for k in range(n)
+    )
+    parts.append(f"""m AS (
+  {union}
+)
+SELECT CAST(rank AS INT) AS rank, l AS "left", r AS "right", n_pairs
+FROM m ORDER BY rank""")
+    return "\n".join(parts)
+
+
 QUERIES = [
     Query("multimodal_decode_jpeg", _multimodal_decode_jpeg, _DECODE_JPEG_SQL,
           ("llm", "multimodal", "decode", "jpeg")),
+    Query("bpe_train_merges", _bpe_train_merges, _bpe_oracle(BPE_N_MERGES),
+          ("llm", "tokenizer", "iterative", "training-data")),
 ]
