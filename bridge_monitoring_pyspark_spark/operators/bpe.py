@@ -93,15 +93,12 @@ def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
     return vocab.select(fold.alias("syms"), "cnt")
 
 
-def train_bpe(
-    spark: SparkSession, docs: DataFrame, n_merges: int, text_col: str = "text"
-) -> DataFrame:
-    """Train ``n_merges`` BPE merges; returns the merge table
-    (rank int, left string, right string, n_pairs long), rank 1 = first
-    merge learned. Ties break lexicographically on (left, right) so the
-    result is deterministic across partitionings."""
+def _train(
+    spark: SparkSession, docs: DataFrame, n_merges: int, text_col: str
+) -> tuple[list[tuple], DataFrame]:
+    """Shared loop: returns (merge list, final encoded vocabulary)."""
     vocab = char_vocab(docs, text_col).localCheckpoint(eager=True)
-    out = []
+    out: list[tuple] = []
     for rank in range(1, n_merges + 1):
         top = (
             _pair_counts(vocab)
@@ -114,8 +111,38 @@ def train_bpe(
         l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n_pairs"])
         out.append((rank, l, r, n))
         vocab = _apply_merge(vocab, l, r).localCheckpoint(eager=True)
+    return out, vocab
+
+
+def train_bpe(
+    spark: SparkSession, docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> DataFrame:
+    """Train ``n_merges`` BPE merges; returns the merge table
+    (rank int, left string, right string, n_pairs long), rank 1 = first
+    merge learned. Ties break lexicographically on (left, right) so the
+    result is deterministic across partitionings."""
+    out, _ = _train(spark, docs, n_merges, text_col)
     return spark.createDataFrame(
         out, "rank int, left string, right string, n_pairs long"
+    )
+
+
+def encode_token_freqs(
+    spark: SparkSession, docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> DataFrame:
+    """Train ``n_merges`` merges, apply them to the corpus, and return the
+    corpus-wide token frequency table (token string, freq long) — the
+    post-BPE unigram distribution a tokenizer-aware data pipeline samples
+    or filters on. The encode step is the training loop's final vocabulary
+    (each word already rewritten by every learned merge, in rank order),
+    so applying merges costs nothing beyond training; frequencies are one
+    explode + one map-side-combined shuffle over the distinct-word vocab,
+    never the raw corpus."""
+    _, vocab = _train(spark, docs, n_merges, text_col)
+    return (
+        vocab.select(F.explode("syms").alias("token"), "cnt")
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("freq"))
     )
 
 

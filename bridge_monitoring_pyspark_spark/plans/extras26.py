@@ -18,6 +18,7 @@ pipelines/bronze_ingest.py reads JSON events only).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
 from .catalog import Query
@@ -65,6 +66,7 @@ FROM sums ORDER BY doc_id
 
 
 BPE_N_MERGES = 8
+BPE_ENCODE_TOPK = 25
 
 
 def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -80,7 +82,7 @@ def _bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe(spark, d, BPE_N_MERGES)
 
 
-def _bpe_oracle(n: int) -> str:
+def _bpe_rounds_cte(n: int) -> str:
     """Unrolled N-iteration replay of the trainer in one DuckDB statement:
     per round, pair counts (p_k) -> deterministic argmax (b_k) -> merge
     application (v_k+1). The merge uses the wrapped-token replace trick:
@@ -120,20 +122,58 @@ v{k + 1} AS (
          v.cnt AS cnt
   FROM v{k} v, b{k} b
 ),""")
+    return "\n".join(parts)
+
+
+def _bpe_oracle(n: int) -> str:
+    """Merge-table form: union the per-round argmax rows b0..b{n-1}."""
     union = "\n  UNION ALL ".join(
         f'SELECT {k + 1} AS rank, l, r, n_pairs FROM b{k}' for k in range(n)
     )
-    parts.append(f"""m AS (
+    return f"""{_bpe_rounds_cte(n)}
+m AS (
   {union}
 )
 SELECT CAST(rank AS INT) AS rank, l AS "left", r AS "right", n_pairs
-FROM m ORDER BY rank""")
-    return "\n".join(parts)
+FROM m ORDER BY rank"""
+
+
+def _bpe_encode_oracle(n: int) -> str:
+    """Encode form: the final vocabulary v{n} IS the corpus rewritten by
+    every learned merge; token frequencies are its unnest weighted by word
+    count."""
+    return f"""{_bpe_rounds_cte(n)}
+tok AS (
+  SELECT unnest(syms) AS token, cnt FROM v{n}
+)
+SELECT token, CAST(sum(cnt) AS BIGINT) AS freq
+FROM tok GROUP BY token
+ORDER BY freq DESC, token
+LIMIT {BPE_ENCODE_TOPK}"""
+
+
+def _bpe_encode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE merges to the corpus and return the top-25
+    post-merge tokens by corpus frequency — the unigram distribution a
+    tokenizer-aware pipeline filters or temperature-samples on. The encode
+    is the training loop's final vocabulary; the frequency table is one
+    explode + map-side-combined shuffle over distinct words (operators/
+    bpe.encode_token_freqs), never a second pass over the raw corpus."""
+    from ..operators.bpe import encode_token_freqs
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        encode_token_freqs(spark, d, BPE_N_MERGES)
+        .orderBy(F.col("freq").desc(), "token")
+        .limit(BPE_ENCODE_TOPK)
+    )
 
 
 QUERIES = [
     Query("multimodal_decode_jpeg", _multimodal_decode_jpeg, _DECODE_JPEG_SQL,
           ("llm", "multimodal", "decode", "jpeg")),
     Query("bpe_train_merges", _bpe_train_merges, _bpe_oracle(BPE_N_MERGES),
+          ("llm", "tokenizer", "iterative", "training-data")),
+    Query("bpe_encode_topk", _bpe_encode_topk, _bpe_encode_oracle(BPE_N_MERGES),
           ("llm", "tokenizer", "iterative", "training-data")),
 ]
