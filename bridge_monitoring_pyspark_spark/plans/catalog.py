@@ -51,7 +51,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "rejected_union_by_name",
     "csv_dim_roundtrip",  # S4
     "asof_last_order_before_event",
-    "sliding_window_counts",  # T2 sliding
     "session_window_stats",  # T2 session
     # streaming forms (S1-S3, S6-S7, T1-T7)
     "streaming_json_ingest",
@@ -146,7 +145,16 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # in-window twice (pagerank_transitions + this), and kmeans stays
     # oracle-checked from position 51+.
     "bpe_train_merges",
+    # round-8 addition, driver-verified from day one: hybrid sparse+dense
+    # retrieval with Reciprocal Rank Fusion (operators/retrieval.py) —
+    # BM25 + cosine rank lists fused 1/(60+rank); the first in-window
+    # witness of the retrieval/ranking family. Its slot was
+    # sliding_window_counts: T2 windows stay witnessed in-window by the
+    # session-window and tumbling-gold entries, and sliding stays
+    # oracle-checked from position 51+.
+    "hybrid_rrf_retrieval",
     # position 51+: operator ids above already covered elsewhere
+    "sliding_window_counts",
     "kmeans_embeddings",
     "simhash_docs",
     "ann_cosine_topk",
@@ -219,6 +227,7 @@ def all_queries() -> dict[str, Query]:
         extras24,
         extras25,
         extras26,
+        extras27,
     )
 
     out: dict[str, Query] = {}
@@ -247,6 +256,7 @@ def all_queries() -> dict[str, Query]:
         extras24,
         extras25,
         extras26,
+        extras27,
     ):
         for q in mod.QUERIES:
             if q.name in out:
