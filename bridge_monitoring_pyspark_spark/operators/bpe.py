@@ -41,13 +41,16 @@ WORD_END = "</w>"
 
 def char_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Distinct-word vocabulary with counts, each word as its character
-    symbols plus the ``</w>`` end marker: (syms array<string>, cnt long)."""
+    symbols plus the ``</w>`` end marker: (w string, syms array<string>,
+    cnt long). ``w`` rides along untouched so post-training consumers
+    (fertility stats, encode maps) can join tokenizations back to words."""
     return (
         docs.select(F.explode(words(F.col(text_col))).alias("w"))
         .where(F.length("w") >= 1)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(
+            "w",
             F.concat(F.split("w", ""), F.array(F.lit(WORD_END))).alias("syms"),
             "cnt",
         )
@@ -90,7 +93,7 @@ def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
             ),
         ).otherwise(F.concat(acc, F.array(x))),
     )
-    return vocab.select(fold.alias("syms"), "cnt")
+    return vocab.select("w", fold.alias("syms"), "cnt")
 
 
 def _train(
@@ -143,6 +146,42 @@ def encode_token_freqs(
         vocab.select(F.explode("syms").alias("token"), "cnt")
         .groupBy("token")
         .agg(F.sum("cnt").alias("freq"))
+    )
+
+
+def fertility_by_lang(
+    spark: SparkSession,
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Tokenizer fertility per language: train ``n_merges`` merges on the
+    whole corpus, then report per-language avg post-BPE tokens per word
+    occurrence (incl. the ``</w>`` marker) — the standard multilingual-
+    tokenizer fairness metric (a language with higher fertility pays more
+    sequence length per word under the shared vocabulary). The per-word
+    tokenization comes free from the training loop's final vocabulary;
+    the per-language occurrence table joins to it on the word — both
+    sides are vocabulary-scale, never corpus-scale."""
+    _, vocab = _train(spark, docs, n_merges, text_col)
+    occ = (
+        docs.select(lang_col, F.explode(words(F.col(text_col))).alias("w"))
+        .where(F.length("w") >= 1)
+        .groupBy(lang_col, "w")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    return (
+        occ.join(vocab.select("w", F.size("syms").alias("n_tok")), "w")
+        .groupBy(lang_col)
+        .agg(
+            F.sum("occ").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.round(
+                F.sum(F.col("occ") * F.col("n_tok")) / F.sum("occ"), 4
+            ).alias("fertility"),
+        )
+        .orderBy(lang_col)
     )
 
 

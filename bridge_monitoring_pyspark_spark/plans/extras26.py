@@ -97,7 +97,7 @@ def _bpe_rounds_cte(n: int) -> str:
     parts = [
         "WITH",
         r"""v0 AS (
-  SELECT list_append(string_split(w, ''), '</w>') AS syms,
+  SELECT w, list_append(string_split(w, ''), '</w>') AS syms,
          CAST(count(*) AS BIGINT) AS cnt
   FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents)
   WHERE length(w) >= 1
@@ -112,7 +112,8 @@ def _bpe_rounds_cte(n: int) -> str:
 ),
 b{k} AS (SELECT l, r, n_pairs FROM p{k} ORDER BY n_pairs DESC, l, r LIMIT 1),
 v{k + 1} AS (
-  SELECT string_split(
+  SELECT v.w AS w,
+         string_split(
            trim(
              replace({lw} || array_to_string(v.syms, {sep}) || {rw},
                      {lw} || b.l || {sep} || b.r || {rw},
@@ -152,6 +153,28 @@ ORDER BY freq DESC, token
 LIMIT {BPE_ENCODE_TOPK}"""
 
 
+def _bpe_fertility_oracle(n: int) -> str:
+    """Fertility form: per-language word occurrences joined to the final
+    vocabulary's per-word token counts on the word itself."""
+    return rf"""{_bpe_rounds_cte(n)}
+occ AS (
+  SELECT lang, w, CAST(count(*) AS BIGINT) AS occ
+  FROM (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS w
+        FROM documents)
+  WHERE length(w) >= 1
+  GROUP BY lang, w
+),
+fert AS (
+  SELECT occ.lang, occ.occ, len(v.syms) AS n_tok
+  FROM occ JOIN v{n} v ON occ.w = v.w
+)
+SELECT lang, CAST(sum(occ) AS BIGINT) AS n_words,
+       CAST(count(*) AS BIGINT) AS n_distinct_words,
+       round(sum(occ * n_tok) / sum(occ), 4) AS fertility
+FROM fert GROUP BY lang
+ORDER BY lang"""
+
+
 def _bpe_encode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the trained BPE merges to the corpus and return the top-25
     post-merge tokens by corpus frequency — the unigram distribution a
@@ -169,6 +192,18 @@ def _bpe_encode_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility under the corpus-trained BPE
+    vocabulary (operators/bpe.fertility_by_lang): avg post-merge tokens
+    per word occurrence — the multilingual-fairness number a pretraining
+    pipeline checks before fixing a shared tokenizer. Vocabulary-scale
+    join, never corpus-scale."""
+    from ..operators.bpe import fertility_by_lang
+
+    d = load_table(spark, sf_dir, "documents")
+    return fertility_by_lang(spark, d, BPE_N_MERGES)
+
+
 QUERIES = [
     Query("multimodal_decode_jpeg", _multimodal_decode_jpeg, _DECODE_JPEG_SQL,
           ("llm", "multimodal", "decode", "jpeg")),
@@ -176,4 +211,7 @@ QUERIES = [
           ("llm", "tokenizer", "iterative", "training-data")),
     Query("bpe_encode_topk", _bpe_encode_topk, _bpe_encode_oracle(BPE_N_MERGES),
           ("llm", "tokenizer", "iterative", "training-data")),
+    Query("bpe_fertility_by_lang", _bpe_fertility_by_lang,
+          _bpe_fertility_oracle(BPE_N_MERGES),
+          ("llm", "tokenizer", "multilingual", "training-data")),
 ]

@@ -61,6 +61,49 @@ def test_bpe_exhausts_when_no_pairs_left(spark):
     assert len(got) < 10
 
 
+def _ref_encode(word: str, merges) -> list[str]:
+    # greedy left-to-right fold of each learned merge, in rank order —
+    # the same semantics as operators/bpe._apply_merge
+    syms = list(word) + ["</w>"]
+    for _, left, right, _ in merges:
+        out: list[str] = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        syms = out
+    return syms
+
+
+def test_bpe_fertility_matches_python_replay(spark):
+    from bridge_monitoring_pyspark_spark.operators.bpe import fertility_by_lang
+
+    rows = [
+        ("en", "low low lower newest"),
+        ("en", "new newest widest"),
+        ("de", "niedrig niedriger neueste"),
+        ("de", "neu neueste"),
+        ("fr", "bas plus nouveau"),
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    merges = train_bpe_reference([t for _, t in rows], 5)
+    want: dict[str, tuple[int, int, float]] = {}
+    for lang in ("de", "en", "fr"):
+        occ: dict[str, int] = {}
+        for lg, t in rows:
+            if lg == lang:
+                for w in t.split():
+                    occ[w] = occ.get(w, 0) + 1
+        n_words = sum(occ.values())
+        tok = sum(c * len(_ref_encode(w, merges)) for w, c in occ.items())
+        want[lang] = (n_words, len(occ), round(tok / n_words, 4))
+    got = fertility_by_lang(spark, df, 5).collect()
+    assert [r.lang for r in got] == ["de", "en", "fr"]
+    for r in got:
+        assert (r.n_words, r.n_distinct_words, r.fertility) == want[r.lang]
+
+
 def test_bpe_catalog_entry_runs_on_documents(spark):
     df = all_queries()["bpe_train_merges"].build(spark, SF_SMOKE)
     rows = df.collect()

@@ -43,3 +43,45 @@ def test_hybrid_rrf_includes_single_list_docs(spark):
     # the full-outer fuse keeps docs that only one retriever surfaced
     # (dense-only docs exist because BM25 term hits are sparse)
     assert any(r.sparse_rank is None or r.dense_rank is None for r in rows)
+
+
+def test_temperature_mix_weights_replay(spark):
+    import math
+    import re
+
+    from bridge_monitoring_pyspark_spark.plans.extras27 import (
+        MIX_ALPHA,
+        MIX_BUDGET_TOKENS,
+    )
+    from bridge_monitoring_pyspark_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("source", "text").collect()
+    tok = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+    agg: dict[str, list[int]] = {}
+    for r in docs:
+        a = agg.setdefault(r.source, [0, 0])
+        a[0] += 1
+        a[1] += len(tok.findall(r.text))
+    raw = {s: math.pow(t, MIX_ALPHA) for s, (_, t) in agg.items()}
+    raw_total = sum(raw.values())
+    tok_total = sum(t for _, t in agg.values())
+    got = (
+        all_queries()["temperature_mix_weights"].build(spark, SF_SMOKE).collect()
+    )
+    assert [r.source for r in got] == sorted(agg)
+    for r in got:
+        n_docs, n_tokens = agg[r.source]
+        assert (r.n_docs, r.n_tokens) == (n_docs, n_tokens)
+        p = raw[r.source] / raw_total
+        assert abs(r.mix_weight - p) < 1e-3
+        assert abs(r.epochs_at_budget - p * MIX_BUDGET_TOKENS / n_tokens) < 1e-2
+        assert abs(r.oversample_ratio - p / (n_tokens / tok_total)) < 1e-3
+    # weights form a distribution; temperature flattens vs natural:
+    # smaller-than-average sources oversample (>1), larger undersample (<1)
+    assert abs(sum(r.mix_weight for r in got) - 1.0) < 1e-2
+    mean_tok = tok_total / len(agg)
+    for r in got:
+        if r.n_tokens < 0.9 * mean_tok:
+            assert r.oversample_ratio > 1
+        if r.n_tokens > 1.1 * mean_tok:
+            assert r.oversample_ratio < 1
