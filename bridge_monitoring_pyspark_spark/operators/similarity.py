@@ -439,6 +439,83 @@ def cosine_topk_bruteforce(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+) -> DataFrame:
+    """Hard-negative mining for retriever/embedding training: per anchor,
+    the top-k most-similar vectors with a DIFFERENT label, each with the
+    anchor's best same-label similarity (the positive) and the margin
+    positive - negative. Small margins are the "hard" negatives a
+    contrastive trainer wants; a negative margin means a wrong-label
+    vector outranks every true positive — a labeling or embedding defect.
+
+    Scale shape: anchors broadcast (a training batch is thousands of rows,
+    not corpus-scale); the corpus streams through one scan scoring against
+    the broadcast matrix, and per-anchor top-k bounds the shuffle to
+    k x |anchors| rows. Positives and negatives come from the SAME scored
+    pass (split by label match), so the corpus is read once. At 100 TB the
+    scoring pass swaps in the IVF/PQ shortlist tiers above — the
+    positive/negative split and margin join are unchanged.
+
+    Determinism: ranking on round(sim, 6) desc then neighbor id, the
+    catalog-wide ANN convention."""
+    a = anchors.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("__ql"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("neg_label"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim6",
+            F.round(
+                cosine_similarity_prenorm(
+                    F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ),
+        )
+    )
+    pos = (
+        scored.where(F.col("neg_label") == F.col("__ql"))
+        .groupBy("query_id")
+        .agg(F.max("sim6").alias("__pos6"))
+    )
+    neg = top_k_per_group(
+        scored.where(F.col("neg_label") != F.col("__ql")),
+        ["query_id"],
+        [F.col("sim6").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    )
+    return (
+        neg.join(F.broadcast(pos), "query_id")
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor_id",
+            "neg_label",
+            F.round("sim6", 4).alias("neg_sim"),
+            F.round("__pos6", 4).alias("pos_sim"),
+            F.round(F.col("__pos6") - F.col("sim6"), 4).alias("margin"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -228,6 +228,7 @@ def all_queries() -> dict[str, Query]:
         extras25,
         extras26,
         extras27,
+        extras28,
     )
 
     out: dict[str, Query] = {}
@@ -257,6 +258,7 @@ def all_queries() -> dict[str, Query]:
         extras25,
         extras26,
         extras27,
+        extras28,
     ):
         for q in mod.QUERIES:
             if q.name in out:
