@@ -95,7 +95,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # full-catalog runs from position 51+.
     "multimodal_decode_png",
     "streaming_session_timeout_flush",
-    "knn_join_blocked",
+    # round-8 addition, driver-verified from day one: hard-negative mining
+    # (operators/similarity.hard_negative_topk) — per-anchor most-similar
+    # wrong-label vectors with positive margin, the contrastive-training
+    # data builder. Its slot was knn_join_blocked, a like-for-like swap
+    # within the exact-kNN family (driver-verified green in r7; the
+    # distributed-grid join stays oracle-checked from position 51+, and
+    # exact-kNN stays witnessed in-window by this entry's scored scan).
+    "hard_negative_mining",
     # round-7 additions, driver-verified from day one: the PQ ANN tier and
     # the decoded-image perceptual dedup. The two slots they take were
     # capability-redundant in the window (exact embedding all-pairs ~ the
@@ -154,6 +161,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # oracle-checked from position 51+.
     "hybrid_rrf_retrieval",
     # position 51+: operator ids above already covered elsewhere
+    "knn_join_blocked",
     "sliding_window_counts",
     "kmeans_embeddings",
     "simhash_docs",
