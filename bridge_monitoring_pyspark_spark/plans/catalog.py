@@ -237,6 +237,7 @@ def all_queries() -> dict[str, Query]:
         extras26,
         extras27,
         extras28,
+        extras29,
     )
 
     out: dict[str, Query] = {}
@@ -267,6 +268,7 @@ def all_queries() -> dict[str, Query]:
         extras26,
         extras27,
         extras28,
+        extras29,
     ):
         for q in mod.QUERIES:
             if q.name in out:

@@ -98,7 +98,7 @@ def _protobuf_ok() -> bool:
 
 @pytest.mark.skipif(
     not _protobuf_ok(),
-    # Re-checked every round; as of round 7 `import google.protobuf` still
+    # Re-checked every round; as of round 8 `import google.protobuf` still
     # raises ModuleNotFoundError (the package is absent, not merely broken).
     # Semantics stay covered by the applyInPandasWithState twins.
     reason="transformWithState needs google.protobuf; absent in this container",
