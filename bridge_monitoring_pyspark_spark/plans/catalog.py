@@ -238,6 +238,7 @@ def all_queries() -> dict[str, Query]:
         extras27,
         extras28,
         extras29,
+        extras30,
     )
 
     out: dict[str, Query] = {}
@@ -269,6 +270,7 @@ def all_queries() -> dict[str, Query]:
         extras27,
         extras28,
         extras29,
+        extras30,
     ):
         for q in mod.QUERIES:
             if q.name in out:
