@@ -239,6 +239,7 @@ def all_queries() -> dict[str, Query]:
         extras28,
         extras29,
         extras30,
+        extras31,
     )
 
     out: dict[str, Query] = {}
@@ -271,6 +272,7 @@ def all_queries() -> dict[str, Query]:
         extras28,
         extras29,
         extras30,
+        extras31,
     ):
         for q in mod.QUERIES:
             if q.name in out:

@@ -1,0 +1,171 @@
+"""Round-8 extension wave 6: distributed Bloom-filter shingle
+decontamination.
+
+``bloom_shingle_decontaminate`` — the constant-memory variant of
+incremental dedup / decontamination (Dolma's paragraph Bloom, CCNet's
+seen-hash set): the historical corpus's distinct word-6-gram shingles
+are folded into a REAL Bloom bitmap (k=5 md5-derived positions, m bits,
+32-bit words bit_or-aggregated), and incoming documents probe it with a
+broadcast join instead of joining the full shingle index. At 100 TB the
+history index is corpus-scale but the bitmap is O(m) — fixed, tiny,
+broadcastable — which is the entire point: membership at wire speed, a
+bounded false-positive rate, zero false negatives.
+
+The witness additionally joins the exact history grams to LABEL each hit
+(true duplicate vs false positive) — audit mode, so the oracle can check
+the filter's semantics bit-for-bit. The production path stops at the
+bitmap probe.
+
+Hashes are md5-derived on both engines (the extras15 idiom: first 8 hex
+chars as an integer), so the DuckDB oracle rebuilds the identical bitmap
+and the compare is exact — including the false positives.
+
+No counterpart in the 550-LoC reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import word_shingles, words
+from ..sources.readers import load_table
+from .catalog import Query
+
+BLOOM_NGRAM = 6
+BLOOM_K = 5
+BLOOM_M_BITS = 131_072  # 2^17 -> 4096 32-bit words; ~0.7% FP at sf0.01
+
+
+def _positions(df: DataFrame) -> DataFrame:
+    """k md5-derived bit positions per gram: pos_j = int(md5(j ':' gram)
+    [:8 hex]) % m. 32-bit words keep every mask below 2^31 so the bitwise
+    algebra is sign-free and identical in Spark and DuckDB."""
+    j = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("j")
+    out = df.select("*", j)
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.encode(
+                        F.concat(
+                            F.col("j").cast("string"), F.lit(":"), F.col("gram")
+                        ),
+                        "UTF-8",
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_M_BITS
+    )
+    return (
+        out.withColumn("pos", pos)
+        .withColumn("wid", (F.col("pos") / 32).cast("long"))
+        # pyspark's shiftleft() only takes a literal shift count; the SQL
+        # form accepts a column
+        .withColumn("mask", F.expr("shiftleft(1L, CAST(pos % 32 AS INT))"))
+    )
+
+
+def _bloom_shingle_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per incoming document (odd doc_ids): distinct 6-gram count, Bloom
+    hits against the even-doc history bitmap, exact-join truth labels,
+    and the false-positive residue. sum(n_bloom_hits) >= sum(n_true_dups)
+    always (no false negatives — pytested); the gap is the m/n/k
+    tradeoff, sized here to keep FPs visible but rare."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(word_shingles(words(F.col("text")), BLOOM_NGRAM)).alias("gram")
+    )
+    hist_grams = grams.where(F.col("doc_id") % 2 == 0).select("gram").distinct()
+    bitmap = (
+        _positions(hist_grams)
+        .groupBy("wid")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    inc = grams.where(F.col("doc_id") % 2 == 1).distinct()
+    probe = (
+        _positions(inc)
+        .join(F.broadcast(bitmap), "wid", "left")
+        .withColumn(
+            "hit",
+            F.when(
+                F.col("word").isNotNull()
+                & (F.col("word").bitwiseAND(F.col("mask")) == F.col("mask")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.min("hit").alias("bloom_hit"))
+    )
+    labeled = probe.join(
+        hist_grams.withColumn("is_dup", F.lit(1)), "gram", "left"
+    ).fillna(0, subset=["is_dup"])
+    return (
+        labeled.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("bloom_hit").cast("long").alias("n_bloom_hits"),
+            F.sum("is_dup").cast("long").alias("n_true_dups"),
+            (F.sum("bloom_hit") - F.sum("is_dup")).cast("long").alias("n_false_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BLOOM_DECON_SQL = rf"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents),
+g AS (SELECT DISTINCT doc_id,
+             array_to_string(w[u.i:u.i+{BLOOM_NGRAM - 1}], ' ') AS gram
+      FROM t, unnest(range(1, len(w) - {BLOOM_NGRAM - 2})) u(i)),
+hg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 2 = 0),
+hpos AS (
+  SELECT CAST(CAST(('0x' || substring(md5(j.j || ':' || gram), 1, 8))
+              AS UBIGINT) % {BLOOM_M_BITS} AS BIGINT) AS pos
+  FROM hg, unnest(range(0, {BLOOM_K})) j(j)
+),
+bitmap AS (
+  SELECT pos // 32 AS wid,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS word
+  FROM hpos GROUP BY 1
+),
+inc AS (SELECT doc_id, gram FROM g WHERE doc_id % 2 = 1),
+ipos AS (
+  SELECT doc_id, gram,
+         CAST(CAST(('0x' || substring(md5(j.j || ':' || gram), 1, 8))
+              AS UBIGINT) % {BLOOM_M_BITS} AS BIGINT) AS pos
+  FROM inc, unnest(range(0, {BLOOM_K})) j(j)
+),
+probe AS (
+  SELECT i.doc_id, i.gram,
+         CASE WHEN b.word IS NOT NULL AND
+                   (b.word & (CAST(1 AS BIGINT) << CAST(i.pos % 32 AS INT)))
+                   != 0
+              THEN 1 ELSE 0 END AS hit
+  FROM ipos i LEFT JOIN bitmap b ON i.pos // 32 = b.wid
+),
+gram_hit AS (
+  SELECT doc_id, gram, min(hit) AS bloom_hit FROM probe GROUP BY doc_id, gram
+),
+labeled AS (
+  SELECT gh.doc_id, gh.bloom_hit,
+         CASE WHEN gh.gram IN (SELECT gram FROM hg) THEN 1 ELSE 0 END AS is_dup
+  FROM gram_hit gh
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(bloom_hit) AS BIGINT) AS n_bloom_hits,
+       CAST(sum(is_dup) AS BIGINT) AS n_true_dups,
+       CAST(sum(bloom_hit) - sum(is_dup) AS BIGINT) AS n_false_pos
+FROM labeled GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES = [
+    Query("bloom_shingle_decontaminate", _bloom_shingle_decontaminate,
+          _BLOOM_DECON_SQL, ("llm", "dedup", "bloom", "decontamination")),
+]
