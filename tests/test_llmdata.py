@@ -173,14 +173,17 @@ def test_multimodal_plumbing(spark):
 
 def test_decode_media_unsupported_formats_still_raise():
     """Formats needing librosa/ffmpeg (absent in this container) must keep
-    raising from the decode slot."""
+    raising from the decode slot; formats with a real decoder (JPEG since
+    round 8) must fail LOUDLY on garbage bytes, not NotImplementedError."""
     import pytest
 
     from bridge_monitoring_pyspark_spark.operators.multimodal import decode_media
 
-    for mime in ("audio/mpeg", "video/mp4", "image/jpeg"):
+    for mime in ("audio/mpeg", "video/mp4"):
         with pytest.raises(NotImplementedError):
             decode_media(b"\x00" * 16, mime)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_media(b"\x00" * 16, "image/jpeg")
 
 
 def test_decode_media_png_real():
