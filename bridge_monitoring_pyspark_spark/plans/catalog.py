@@ -240,6 +240,7 @@ def all_queries() -> dict[str, Query]:
         extras29,
         extras30,
         extras31,
+        extras32,
     )
 
     out: dict[str, Query] = {}
@@ -273,6 +274,7 @@ def all_queries() -> dict[str, Query]:
         extras29,
         extras30,
         extras31,
+        extras32,
     ):
         for q in mod.QUERIES:
             if q.name in out:
