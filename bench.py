@@ -15,7 +15,7 @@ valid timing.
 Env:
   SPARK_GRAFT_SF_DIR        input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS          local[] parallelism (default 32)
-  SPARK_GRAFT_BENCH_BUDGET  wall-clock cap in seconds (default 480)
+  SPARK_GRAFT_BENCH_BUDGET  wall-clock cap in seconds (default 720)
 
 Each query is forced with the ``noop`` sink — full execution on the
 executors, zero result-collection cost, which is what a cluster deployment
@@ -66,7 +66,12 @@ def main() -> None:
     # Fault isolation: one broken query must cost one "errors" entry, never
     # the suite — the JSON line is emitted unconditionally, even if session
     # startup itself dies.
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "480"))
+    # 480 -> 720 in round 8: the 211-query catalog's COLD pass alone grew to
+    # ~380 s, so a 480 s budget left ~0 re-runs and `value` silently reverted
+    # to cold-pass semantics (n_rerun 3 vs r7's 233). 720 restores at least
+    # one warm re-run for every heavy query; `value` semantics (min over
+    # runs) are unchanged — see BASELINE.md's methodology table.
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "720"))
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     # Every failed run is attributed to its query, even when a later re-run
@@ -78,6 +83,7 @@ def main() -> None:
     fail_counts: dict[str, int] = {}
     fail_last: dict[str, str] = {}
     fatal: str | None = None
+    calib = None
     total = -1.0
     wall = -1.0
     n_rerun = 0
@@ -99,6 +105,27 @@ def main() -> None:
             run(next(iter(catalog.values())))
         except Exception:
             pass  # warmup failure shows up as that query's own error below
+
+        # Host-speed calibration (round 8): a fixed CPU-bound reference job,
+        # min of 3. Identical code measured 1.3-1.8x apart hours apart on
+        # this shared host, so raw `value`s are only comparable after
+        # normalizing by this constant. Recorded, never subtracted — the
+        # artifact stays a measurement, the normalization is the reader's.
+        try:
+            from pyspark.sql import functions as _F
+
+            def _calib_once() -> float:
+                t0 = time.time()
+                # bit_xor, not sum: ANSI mode overflows a long sum of 200M
+                # hashes
+                spark.range(2_000_000_000).select(
+                    _F.bit_xor(_F.xxhash64("id"))
+                ).collect()
+                return time.time() - t0
+
+            calib = round(min(_calib_once() for _ in range(3)), 3)
+        except Exception:
+            pass  # calibration is diagnostics, never a failure source
 
         t_suite = time.time()
         for name, q in sorted(catalog.items()):
@@ -149,6 +176,7 @@ def main() -> None:
         "timing": "min_of_runs",
         "n_rerun": n_rerun,
         "wall_clock_sec": None if fatal else wall,
+        "calibration_sec": calib,
         # catalog growth vs engine slowdown must be separable round-over-
         # round: a bigger total with a flat mean is new witnesses, not a
         # regression (VERDICT r4 "what's wrong" #2). Mean over SUCCESSFUL
