@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.text import word_shingles, words
+from ..operators.dedup import shingle_postings
 from ..sources.readers import load_table
 from .catalog import Query
 
@@ -78,8 +78,12 @@ def _bloom_shingle_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     always (no false negatives — pytested); the gap is the m/n/k
     tradeoff, sized here to keep FPs visible but rare."""
     d = load_table(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.explode(word_shingles(words(F.col("text")), BLOOM_NGRAM)).alias("gram")
+    # shingle_postings, not a per-doc HOF shingle array: the posexplode +
+    # window-lead form is fully codegen'd; the interpreted transform/
+    # concat_ws array form measured 16s for this explode alone at sf0.1
+    # (the exact trap operators/dedup.py's docstring warns about)
+    grams = shingle_postings(d, "doc_id", "text", BLOOM_NGRAM).select(
+        F.col("doc").alias("doc_id"), F.col("shingle").alias("gram")
     )
     hist_grams = grams.where(F.col("doc_id") % 2 == 0).select("gram").distinct()
     bitmap = (
@@ -87,7 +91,7 @@ def _bloom_shingle_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("wid")
         .agg(F.bit_or("mask").alias("word"))
     )
-    inc = grams.where(F.col("doc_id") % 2 == 1).distinct()
+    inc = grams.where(F.col("doc_id") % 2 == 1)  # postings are distinct already
     probe = (
         _positions(inc)
         .join(F.broadcast(bitmap), "wid", "left")
