@@ -241,6 +241,7 @@ def all_queries() -> dict[str, Query]:
         extras30,
         extras31,
         extras32,
+        extras33,
     )
 
     out: dict[str, Query] = {}
@@ -275,6 +276,7 @@ def all_queries() -> dict[str, Query]:
         extras30,
         extras31,
         extras32,
+        extras33,
     ):
         for q in mod.QUERIES:
             if q.name in out:
