@@ -136,6 +136,39 @@ def main() -> None:
                 fail_counts[name] = fail_counts.get(name, 0) + 1
                 fail_last[name] = errors[name]
 
+        # Crash insurance: checkpoint the (partial) artifact after the cold
+        # pass and after every re-run pass, so an external kill mid-run —
+        # e.g. a harness timeout shorter than the 720 s budget — still
+        # leaves a valid BENCH.json with whatever coverage was reached
+        # (`n_rerun` tells the reader how warm it got). sf-guarded like the
+        # final write.
+        def _checkpoint() -> None:
+            try:
+                snap = {
+                    "metric": "catalog_suite",
+                    "value": round(sum(timings.values()), 3),
+                    "unit": "sec",
+                    "sf": sf,
+                    "n_queries": len(timings),
+                    "n_errors": len(errors),
+                    "timing": "min_of_runs",
+                    "n_rerun": n_rerun,
+                    "wall_clock_sec": round(time.time() - t_suite, 3),
+                    "calibration_sec": calib,
+                    "partial": True,
+                    "queries": timings,
+                }
+                name = "BENCH.json" if sf == 0.1 else f"BENCH_sf{sf}.json"
+                path = os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), name
+                )
+                with open(path, "w") as f:
+                    f.write(json.dumps(snap) + "\n")
+            except Exception:
+                pass  # insurance must never break the run it insures
+
+        _checkpoint()
+
         # Re-run passes: heaviest-first, repeated until the budget is spent;
         # errored queries get a retry too (a transient fault should cost a
         # re-run, not the round). min() per query filters one-sided host
@@ -161,6 +194,7 @@ def main() -> None:
                 timings[name] = min(timings.get(name, t), t)
                 errors.pop(name, None)
                 n_rerun += 1
+            _checkpoint()  # end of each re-run pass
         total = round(sum(timings.values()), 3)
         wall = round(time.time() - t_suite, 3)
     except Exception as e:  # noqa: BLE001 — catastrophic (session/catalog)
