@@ -119,15 +119,19 @@ class _BitReader:
         self.buf = buf
         self.pos = pos          # byte position in buf
         self.bit = 0            # bits consumed of current byte
-        self.marker: int | None = None  # pending marker (0xD0..0xD7 or terminal)
 
     def _current_byte(self) -> int:
+        if self.pos >= len(self.buf):
+            raise ValueError("truncated entropy data")
         b = self.buf[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.buf):
+                raise ValueError("truncated entropy data")
             nxt = self.buf[self.pos + 1]
             if nxt != 0x00:  # a real marker terminates entropy data here
-                self.marker = nxt
-                raise EOFError(f"marker 0x{nxt:02x} inside entropy segment")
+                raise ValueError(
+                    f"marker 0x{nxt:02x} inside entropy segment: "
+                    "truncated or corrupt scan")
         return b
 
     def read_bit(self) -> int:
@@ -155,10 +159,18 @@ class _BitReader:
         raise ValueError("invalid Huffman code in entropy segment")
 
     def sync_restart(self, n: int) -> None:
-        """Byte-align and consume the expected RSTn marker."""
+        """Byte-align and consume the expected RSTn marker (0xFF fill
+        bytes before it are legal per T.81 B.1.1.2)."""
         if self.bit:
             self.bit = 0
+            if self.pos >= len(self.buf):
+                raise ValueError("truncated entropy data")
             self.pos += 1 + (1 if self.buf[self.pos] == 0xFF else 0)
+        while (self.pos + 1 < len(self.buf) and self.buf[self.pos] == 0xFF
+               and self.buf[self.pos + 1] == 0xFF):
+            self.pos += 1  # fill byte
+        if self.pos + 1 >= len(self.buf):
+            raise ValueError("truncated entropy data")
         if self.buf[self.pos] != 0xFF or self.buf[self.pos + 1] != 0xD0 + (n & 7):
             raise ValueError(
                 f"expected RST{n & 7} at byte {self.pos}, got "
@@ -192,6 +204,11 @@ def jpeg_decode(buf: bytes) -> dict:
     while pos < len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+        while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 1 >= len(buf):
+            raise ValueError("truncated marker at end of stream")
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

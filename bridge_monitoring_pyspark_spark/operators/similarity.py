@@ -462,6 +462,10 @@ def hard_negative_topk(
     scoring pass swaps in the IVF/PQ shortlist tiers above — the
     positive/negative split and margin join are unchanged.
 
+    Anchors with no same-label row in the corpus are kept with null
+    pos_sim/margin (their negatives still rank) rather than dropped — the
+    absence of any positive is itself a training-data defect to surface.
+
     Determinism: ranking on round(sim, 6) desc then neighbor id, the
     catalog-wide ANN convention."""
     a = anchors.select(
@@ -502,7 +506,11 @@ def hard_negative_topk(
         rank_col="rank",
     )
     return (
-        neg.join(F.broadcast(pos), "query_id")
+        # LEFT join: an anchor with no same-label row anywhere in the
+        # corpus still surfaces, with null pos_sim/margin — a missing
+        # positive is a stronger training-data defect signal than a
+        # negative margin and must not silently vanish (ADVICE r8).
+        neg.join(F.broadcast(pos), "query_id", "left")
         .select(
             "query_id",
             F.col("rank").cast("int").alias("rank"),

@@ -56,7 +56,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "streaming_json_ingest",
     "streaming_silver_enriched",
     "streaming_gold_metrics",
-    "streaming_stateful_dedup",
+    # round-9 rotation (VERDICT r8 item 5): driver-verify the stream-stream
+    # LEFT SEMI join (plans/extras30.py). Its slot was
+    # streaming_stateful_dedup — stateful streaming stays witnessed
+    # in-window by streaming_session_timeout_flush (timers),
+    # streaming_restart_exactly_once (state WAL) and
+    # streaming_gold_metrics (chained stateful); dropDuplicates-with-
+    # watermark stays oracle-checked from position 51+.
+    "streaming_semi_join",
     "streaming_restart_exactly_once",  # T4
     # relational / plan-quality headliners (O1-O3, §2.5 windows)
     "q1_pricing_summary",
@@ -68,10 +75,21 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # LLM-data pipeline suite
     "lang_id_heuristic",
     "text_quality_stats",
-    "token_count_estimate",
+    # round-9 rotation (VERDICT r8 item 5): driver-verify the Viterbi
+    # unigram-LM segmentation DP (operators/unigram.py). Its slot was
+    # token_count_estimate — tokenization stays witnessed in-window by
+    # bpe_train_merges plus this entry, and the whitespace/BPE-regex token
+    # counter stays oracle-checked from position 51+.
+    "viterbi_segment_stats",
     "dedup_exact_docs",
     "neardup_minhash_lsh_pairs",
-    "neardup_components",
+    # round-9 rotation (VERDICT r8 item 5): driver-verify the distributed
+    # Bloom-filter shingle decontamination (plans/extras31.py), the most
+    # expensive previously-oracle-only witness. Its slot was
+    # neardup_components — near-dup stays witnessed in-window by
+    # minhash-LSH pairs, embedding-LSH and semdedup, and the
+    # connected-components chain stays oracle-checked from position 51+.
+    "bloom_shingle_decontaminate",
     # round-8 addition, driver-verified from day one: SemDeDup
     # cluster-blocked semantic dedup (plans/extras24.py). Its slot was the
     # IVF ANN tier — ANN stays witnessed in-window by the brute-force and
@@ -103,13 +121,16 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # distributed-grid join stays oracle-checked from position 51+, and
     # exact-kNN stays witnessed in-window by this entry's scored scan).
     "hard_negative_mining",
-    # round-7 additions, driver-verified from day one: the PQ ANN tier and
-    # the decoded-image perceptual dedup. The two slots they take were
-    # capability-redundant in the window (exact embedding all-pairs ~ the
-    # LSH twin neardup_embedding_lsh_pairs + ann_cosine_topk; byte-feature
-    # extraction ~ the real-decode entries multimodal_decode_png/ppm);
-    # both stay oracle-checked from position 51+.
-    "ann_pq_adc_topk",
+    # round-9 rotation (VERDICT r8 item 5): driver-verify the incremental
+    # IVF index append (plans/extras33.py) — frozen-centroid append +
+    # partition-pruned probe, the nightly index-maintenance posture. Its
+    # slot was ann_pq_adc_topk, driver-verified green in r7 and r8 — ANN
+    # stays witnessed in-window by hard_negative_mining (exact scored
+    # scan), hybrid_rrf_retrieval (dense leg) and this IVF entry, and the
+    # PQ tier stays oracle-checked from position 51+.
+    "ann_ivf_index_append",
+    # round-7 addition (see above): decoded-image perceptual dedup; its
+    # displaced twin multimodal_features stays oracle-checked from 51+.
     "phash_image_dedup",
     # round-8 rotation (VERDICT r7 item 6): driver-verify the three most
     # expensive previously-ORACLE-only witnesses — stats-driven join
@@ -122,7 +143,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # jaccard / simhash / components). All three displaced entries remain
     # oracle-checked from position 51+.
     "cbo_join_reorder",
-    "streaming_salted_interval_join",
+    # round-9 rotation (VERDICT r8 item 5): driver-verify the stream-stream
+    # FULL OUTER join (plans/extras30.py). Its slot was
+    # streaming_salted_interval_join, driver-verified green in r8 — the
+    # salted interval join stays oracle-checked from position 51+, and the
+    # stream-stream join family is witnessed in-window by the semi +
+    # full-outer pair (the interval INNER shape is their superset plan).
+    "streaming_full_outer_join",
     "pagerank_transitions",
     # round-8 addition, driver-verified from day one: the real WAV/PCM
     # audio decode (plans/extras25.py) — the audio modality's analogue of
@@ -194,6 +221,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "intersect_building_urgent",
     "except_building_urgent",
     "small_file_compaction",
+    # displaced by the round-9 rotation; still oracle-checked every round
+    "streaming_stateful_dedup",
+    "token_count_estimate",
+    "neardup_components",
+    "streaming_salted_interval_join",
+    "ann_pq_adc_topk",
 )
 
 

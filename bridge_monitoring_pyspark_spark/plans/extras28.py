@@ -33,7 +33,8 @@ _BLOOM_CONFS = (
 
 
 def bloomfilter_join_build(
-    spark: SparkSession, sf_dir: str, bloom: bool
+    spark: SparkSession, sf_dir: str, bloom: bool,
+    capture: dict | None = None,
 ) -> DataFrame:
     """Selective dim-filtered fact join with the runtime bloom filter on
     or off. The application-side scan threshold (default 10 GB) is lowered
@@ -41,9 +42,18 @@ def bloomfilter_join_build(
     injection only fires for shuffle joins — exactly the 100 TB regime,
     where the dim side exceeds any broadcast threshold and a shuffle join
     is the real plan. Confs are scoped to the build and restored to the
-    caller's values (the CBO-witness pattern, extras22.py); forcing the
-    optimized plan while they hold pins the bloom'd plan to the returned
-    Dataset."""
+    caller's values (the CBO-witness pattern, extras22.py).
+
+    The join EXECUTES here, while the confs hold, via an eager
+    ``localCheckpoint()`` — ADVICE r8 showed that merely forcing
+    ``optimizedPlan()`` pins the bloom'd plan only for Dataset actions,
+    while a later ``df.write`` (bench.py's noop sink) builds a fresh
+    QueryExecution under the restored confs and silently drops the bloom.
+    Checkpointing materializes the aggregate (a few rows) under the
+    bloom'd plan; every downstream action replays that result. When
+    ``capture`` is passed, ``capture["executed_plan"]`` receives the
+    post-execution physical plan string (AQE-final) so tests gate the plan
+    that actually ran, not a memoized QueryExecution."""
     orig = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
     spark.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.enabled", str(bloom).lower()
@@ -69,8 +79,12 @@ def bloomfilter_join_build(
             )
             .orderBy("l_returnflag")
         )
-        j._jdf.queryExecution().optimizedPlan()  # force plan under confs
-        return j
+        out = j.localCheckpoint()  # runs the join NOW, under the confs
+        if capture is not None:
+            capture["executed_plan"] = (
+                j._jdf.queryExecution().executedPlan().toString()
+            )
+        return out
     finally:
         for k, v in orig.items():
             if v is None:
@@ -82,9 +96,10 @@ def bloomfilter_join_build(
 def _bloomfilter_join_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by return flag for line items of urgent high-value orders,
     with Catalyst's runtime bloom filter pruning the fact scan: the
-    optimized plan carries ``might_contain(bloom_filter_agg(o_orderkey))``
-    as a filter on l_orderkey ahead of the join (plan-gated in
-    tests/test_extras28.py against the bloom-off build). Results are
+    EXECUTED plan carries ``might_contain(bloom_filter_agg(o_orderkey))``
+    as a filter on l_orderkey ahead of the join, and the join runs under
+    those confs inside the build (plan-gated against the actually-executed
+    physical plan in tests/test_extras28.py, on-vs-off). Results are
     filter-independent, so the oracle is the plain join aggregate."""
     return bloomfilter_join_build(spark, sf_dir, bloom=True)
 
@@ -143,7 +158,7 @@ SELECT n.query_id, n.rank, n.neighbor_id,
        round(n.sim6, 4) AS neg_sim,
        round(p.pos6, 4) AS pos_sim,
        round(p.pos6 - n.sim6, 4) AS margin
-FROM neg n JOIN pos p USING (query_id)
+FROM neg n LEFT JOIN pos p USING (query_id)
 WHERE n.rank <= {HN_TOPK}
 ORDER BY query_id, rank
 """

@@ -12,19 +12,32 @@ from bridge_monitoring_pyspark_spark.plans.extras28 import (
 from testdata_paths import SF_SMOKE
 
 
-def _opt_plan(df) -> str:
-    return df._jdf.queryExecution().optimizedPlan().toString()
-
-
-def test_bloom_filter_injected_only_when_enabled(spark):
-    on = bloomfilter_join_build(spark, SF_SMOKE, bloom=True)
-    off = bloomfilter_join_build(spark, SF_SMOKE, bloom=False)
-    p_on, p_off = _opt_plan(on), _opt_plan(off)
+def test_bloom_filter_in_executed_plan_only_when_enabled(spark):
+    # ADVICE r8: gate the plan captured from the actual execution (the
+    # eager localCheckpoint inside the build), not a memoized Dataset
+    # QueryExecution that a later write would silently replan around.
+    cap_on: dict = {}
+    cap_off: dict = {}
+    bloomfilter_join_build(spark, SF_SMOKE, bloom=True, capture=cap_on)
+    bloomfilter_join_build(spark, SF_SMOKE, bloom=False, capture=cap_off)
+    p_on, p_off = cap_on["executed_plan"], cap_off["executed_plan"]
     assert "might_contain" in p_on and "bloom_filter_agg" in p_on
     assert "might_contain" not in p_off
-    # the filter must sit on the FACT side's join key, pruning before the
-    # shuffle — not anywhere downstream of the join
-    assert "l_orderkey" in p_on.split("Join")[-1]
+    # the filter must prune the FACT side's join key before the shuffle
+    assert any(
+        "might_contain" in ln and "l_orderkey" in ln
+        for ln in p_on.splitlines()
+    ), p_on
+
+
+def test_bloom_result_survives_write_without_replan(spark):
+    # the returned DataFrame is the checkpointed result: a downstream
+    # write replays it instead of re-planning the join under whatever
+    # confs the caller has — the exact failure mode ADVICE r8 found
+    df = bloomfilter_join_build(spark, SF_SMOKE, bloom=True)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan  # logical plan truncated to the result
+    df.write.format("noop").mode("overwrite").save()
 
 
 def test_bloom_on_off_results_identical(spark):
@@ -94,6 +107,29 @@ def test_hard_negative_margin_semantics(spark):
         assert sims == sorted(sims, reverse=True)
         for r in rs:
             assert abs((r.pos_sim - r.neg_sim) - r.margin) < 2e-4
+
+
+def test_hard_negative_positive_less_anchor_surfaces(spark):
+    # ADVICE r8: an anchor whose label appears nowhere else in the corpus
+    # must still emit its negatives, with null pos_sim/margin — not vanish
+    from bridge_monitoring_pyspark_spark.operators.similarity import (
+        hard_negative_topk,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], "only"),   # anchor with no same-label row
+        (1, [0.9, 0.1], "a"),
+        (2, [0.5, 0.5], "a"),
+        (3, [0.0, 1.0], "b"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>, label string")
+    got = hard_negative_topk(
+        df, df.where(F.col("vec_id") == 0), "vec_id", "embedding", "label", 2
+    ).collect()
+    assert len(got) == 2, got
+    assert all(r.query_id == 0 for r in got)
+    assert all(r.pos_sim is None and r.margin is None for r in got)
+    assert [r.neighbor_id for r in got] == [1, 2]  # sim desc
 
 
 def test_hard_negative_anchors_broadcast(spark):

@@ -169,6 +169,33 @@ def test_loud_failures():
         jpeg_decode(bytes(g))
 
 
+def test_truncated_entropy_raises_valueerror_not_indexerror():
+    # ADVICE r8: a payload cut mid-entropy-segment must die as a loud
+    # ValueError, never a bare IndexError/EOFError from the bit reader
+    buf = synth_jpeg(1)
+    sos = buf.find(b"\xff\xda")
+    assert sos > 0
+    for cut in (sos + 15, len(buf) - 3):
+        with pytest.raises(ValueError):
+            jpeg_decode(buf[:cut])
+    # EOI moved into the entropy segment: premature marker, still loud
+    cut = buf[:len(buf) - 6] + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        jpeg_decode(cut)
+
+
+def test_fill_bytes_before_markers_accepted():
+    # T.81 B.1.1.2: any run of 0xFF fill bytes may precede a marker code
+    buf = synth_jpeg(4)
+    # pad in front of the DQT marker (first 0xFFDB after SOI)
+    idx = buf.find(b"\xff\xdb")
+    assert idx > 0
+    padded = buf[:idx] + b"\xff\xff\xff" + buf[idx:]
+    base = jpeg_decode(buf)
+    got = jpeg_decode(padded)
+    assert np.array_equal(got["pixels"], base["pixels"])
+
+
 def test_decode_media_routes_jpeg():
     from bridge_monitoring_pyspark_spark.operators.multimodal import decode_media
 
