@@ -225,10 +225,17 @@ sh AS (
                         for i in range(1, len(w) - 1)]) s
   FROM t
 ),
+post AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
 pairs AS (
+  -- postings self-join: only pairs sharing >= 1 shingle are scored (any
+  -- pair at a positive Jaccard threshold must share one), same inverted-
+  -- index idea as the Spark plan. Replaces the all-pairs list_intersect
+  -- form, which cost 648 s at sf0.1 vs 1.6 s for this (round 9; results
+  -- verified identical at sf0.01 before the swap).
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         len(list_intersect(a.s, b.s)) AS ni, len(a.s) AS na, len(b.s) AS nb
-  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         count(*) AS ni, any_value(a.n) AS na, any_value(b.n) AS nb
+  FROM post a JOIN post b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, round(ni::DOUBLE / (na + nb - ni), 4) AS jaccard
 FROM pairs
