@@ -524,6 +524,75 @@ def hard_negative_topk(
     )
 
 
+def nearest_centroids_arrow(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cid_col: str = "cid",
+    n_keep: int = 1,
+) -> DataFrame:
+    """Top-``n_keep`` nearest centroids per row via one BLAS matmul per
+    Arrow batch — the standalone N x K assignment pass used by the IVF
+    index builds (plans/extras29.py build + probe, extras33.py append).
+
+    Same ordering contract as the SQL crossJoin form it replaces —
+    round(cosine, 6) DESC half-away-from-zero then centroid id ASC, via
+    the shared :func:`_quantize_half_up` composite key — so assignments
+    are bit-identical to the oracle replay outside the documented 1e-16
+    rounding-boundary class. Returns ``(id_col, vec_col, cid_col)`` rows,
+    ``n_keep`` per input row. Centroids collect to the driver (K ~
+    sqrt(N) rows — the bounded-collect pattern) and broadcast; the corpus
+    never shuffles — each Arrow batch emits its own assignments.
+
+    Round-9 scale fix: the index builds originally assigned through a SQL
+    crossJoin whose N x K interpreted higher-order-function cosines made
+    the decade-3 (20M x 4472) build exceed 30 minutes; this path is the
+    same BLAS assignment ``ivf_topk(assignment="arrow")`` already ships,
+    and the decade-3 measurement is what forced the unification.
+    """
+    cid_type = dict(centroids.dtypes)[cid_col]
+    if cid_type not in ("int", "bigint"):
+        raise ValueError(
+            "nearest_centroids_arrow needs an int/bigint centroid id "
+            f"(got {cid_type})"
+        )
+    cent_rows = centroids.select(cid_col, vec_col).collect()  # K ~ sqrt(N)
+    c_ids, c_unit = _normalized_matrix(cent_rows)
+    c_rank = np.empty(len(c_ids), dtype=np.int64)
+    c_rank[np.argsort(c_ids)] = np.arange(len(c_ids))
+    bc = df.sparkSession.sparkContext.broadcast((c_ids, c_unit, c_rank))
+    cid_np = np.int32 if cid_type == "int" else np.int64
+    dtypes = dict(df.dtypes)
+    schema = (
+        f"{id_col} {dtypes[id_col]}, {vec_col} {dtypes[vec_col]}, "
+        f"{cid_col} {cid_type}"
+    )
+
+    def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, unit, rank = bc.value
+        m = min(n_keep, len(ids))
+        for pdf in it:
+            if not len(pdf):
+                continue
+            sims = _normalized_batch(pdf[vec_col]) @ unit.T  # (batch, K)
+            comp = _quantize_half_up(sims) * (1 << 34) - rank[None, :]
+            if m == 1:
+                pick = np.argmax(comp, axis=1)[:, None]
+            else:
+                pick = np.argsort(-comp, axis=1)[:, :m]
+            reps = np.repeat(np.arange(len(pdf)), m)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[reps],
+                    vec_col: pdf[vec_col].iloc[reps.tolist()].to_numpy(),
+                    cid_col: ids[pick.ravel()].astype(cid_np),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

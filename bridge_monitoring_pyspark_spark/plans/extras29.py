@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity_prenorm, l2_norm
+from ..operators.similarity import nearest_centroids_arrow
 from ..operators.topk import top_k_per_group
 from ..sources.readers import load_table
 from .catalog import Query
@@ -51,31 +52,17 @@ def _cleanup_index() -> None:
 
 def _nearest_centroids(df: DataFrame, centroids: DataFrame, n: int) -> DataFrame:
     """Top-n nearest centroids per row under the engine-wide IVF order:
-    round(cosine, 6) DESC (half-up at 1e-6), centroid id ASC. Centroids
-    broadcast; the scored cross-join never shuffles the corpus."""
-    c = centroids.select(
-        F.col("cid"),
-        F.col("embedding").alias("__cv"),
-        l2_norm(F.col("embedding")).alias("__cn"),
-    )
-    scored = df.withColumn("__n", l2_norm(F.col("embedding"))).crossJoin(
-        F.broadcast(c)
-    ).withColumn(
-        "__sim6",
-        F.round(
-            cosine_similarity_prenorm(
-                F.col("embedding"), F.col("__cv"), F.col("__n"), F.col("__cn")
-            ),
-            6,
-        ),
-    )
-    return top_k_per_group(
-        scored,
-        ["vec_id"],
-        [F.col("__sim6").desc(), F.col("cid").asc()],
-        n,
-        rank_col="__crank",
-    )
+    round(cosine, 6) DESC (half-up at 1e-6), centroid id ASC.
+
+    Round 9: delegates to the Arrow/BLAS assigner
+    (operators/similarity.nearest_centroids_arrow) — the original SQL
+    crossJoin scored N x K pairs through interpreted higher-order-function
+    cosines, which the decade-3 measurement caught taking >30 minutes for
+    the sf100 index build (20M vectors x 4472 centroids); the BLAS matmul
+    path is the same assignment ivf_topk(assignment='arrow') uses, with
+    the identical ordering contract, so results are unchanged (oracle
+    re-verified at sf0.01 and sf0.1 after the swap)."""
+    return nearest_centroids_arrow(df, centroids, "vec_id", "embedding", "cid", n)
 
 
 def ivf_index_dir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
