@@ -36,9 +36,14 @@ comparable and ``processedRowsPerSecond`` measures the engine's sustainable
 throughput directly. The first batch is excluded (cold codegen + worker
 spin-up).
 
+``--mode semi-join`` / ``--mode full-outer-join`` (round 9) are the
+sustained-rate twins of the plans/extras30.py stream-stream join matrix —
+see ``build_semi_or_outer``.
+
 Usage:
     python tools/bench_stream_rate.py [--seconds 60] [--rows-per-batch 1000000]
-        [--mode stateless|stateful] [--out STREAM_RATE.json]
+        [--mode stateless|stateful|interval-join|semi-join|full-outer-join]
+        [--out STREAM_RATE.json]
 
 Writes {mode, config, rows_total, rows_per_sec_mean, rows_per_sec_max,
 batches, state_rows, state_bytes} — committed as STREAM_RATE.json.
@@ -152,10 +157,97 @@ def build_interval_join(spark, rows_per_batch: int, partitions: int):
     ).select("click_id", "purchase_id", "c_user")
 
 
+def build_semi_or_outer(spark, rows_per_batch: int, partitions: int, mode: str):
+    """Sustained-rate twins of the plans/extras30.py stream-stream join
+    matrix entries (VERDICT r8 item 6):
+
+    * ``semi-join`` — LEFT SEMI with the same event-time interval
+      condition as the interval-join mode: the existence probe. Left rows
+      emit at most once; right rows are never emitted, so output traffic
+      is bounded by the left rate regardless of match fan-out.
+    * ``full-outer-join`` — FULL OUTER on (user, 5-second event-time
+      window) equality, the extras30 window-equality shape at row level:
+      both sides' unmatched rows null-pad and emit when the watermark
+      closes their window, so emission (and state eviction) is
+      continuous. The right side is ~1% of the stream, making the
+      left-unmatched direction the dominant traffic, as in a real
+      completeness audit.
+
+    Both sides watermarked at 10 s; state is O(rows inside the watermark
+    horizon), reported from stateOperators like the other stateful modes."""
+
+    def src():
+        return (
+            spark.readStream.format("rate-micro-batch")
+            .option("rowsPerBatch", str(rows_per_batch))
+            .option("numPartitions", str(partitions))
+            .option("advanceMillisPerBatch", "1000")
+            .load()
+        )
+
+    if mode == "semi-join":
+        clicks = (
+            src()
+            .select(
+                F.col("value").alias("click_id"),
+                (F.col("value") % JOIN_USERS).alias("c_user"),
+                F.col("timestamp").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "10 seconds")
+        )
+        purchases = (
+            src()
+            .where(F.col("value") % JOIN_RIGHT_KEEP == 0)
+            .select(
+                (F.col("value") % JOIN_USERS).alias("p_user"),
+                F.col("timestamp").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "10 seconds")
+        )
+        return clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 5 SECONDS")),
+            "left_semi",
+        )
+    # the window column must be DERIVED FROM the watermarked column —
+    # watermark first, then window() over that same column, or Spark
+    # rejects the full-outer join ("watermark in the join keys" rule)
+    clicks = (
+        src()
+        .select(
+            F.col("value").alias("click_id"),
+            (F.col("value") % JOIN_USERS).alias("c_user"),
+            F.col("timestamp").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "10 seconds")
+        .withColumn("c_w", F.window("c_ts", "5 seconds"))
+    )
+    purchases = (
+        src()
+        .where(F.col("value") % JOIN_RIGHT_KEEP == 0)
+        .select(
+            F.col("value").alias("purchase_id"),
+            (F.col("value") % JOIN_USERS).alias("p_user"),
+            F.col("timestamp").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "10 seconds")
+        .withColumn("p_w", F.window("p_ts", "5 seconds"))
+    )
+    return clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user")) & (F.col("c_w") == F.col("p_w")),
+        "full_outer",
+    ).select("click_id", "purchase_id", "c_user", "p_user")
+
+
 def build_pipeline(spark, rows_per_batch: int, partitions: int, mode: str):
     """rate-micro-batch source -> synth doc -> codegen score -> keep/drop."""
     if mode == "interval-join":
         return build_interval_join(spark, rows_per_batch, partitions)
+    if mode in ("semi-join", "full-outer-join"):
+        return build_semi_or_outer(spark, rows_per_batch, partitions, mode)
     src = (
         spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", str(rows_per_batch))
@@ -187,7 +279,8 @@ def main() -> None:
     ap.add_argument("--rows-per-batch", type=int, default=1_000_000)
     ap.add_argument(
         "--mode",
-        choices=("stateless", "stateful", "interval-join"),
+        choices=("stateless", "stateful", "interval-join", "semi-join",
+                 "full-outer-join"),
         default="stateless",
     )
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
