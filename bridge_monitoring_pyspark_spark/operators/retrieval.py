@@ -49,7 +49,17 @@ def bm25_topn(
     (×18.64 at 10× rows — ~800M shuffled pairs at 5M docs). Results are
     identical: a query term with tf = 0 contributes exactly 0.0 to the
     score, and docs matching no term are filtered out as before.
+
+    Input domain (ADVICE r9): duplicate query terms are deduped first-seen
+    (the old groupBy-on-term form deduped implicitly; scoring a term twice
+    would double-count it), and a single-term query works — the match
+    predicate is an OR-fold over the per-term tf columns, not F.greatest
+    (which requires >= 2 arguments).
     """
+    terms = tuple(dict.fromkeys(terms))  # dedupe, keep first-seen order
+    if not terms:
+        raise ValueError("bm25_topn needs at least one query term")
+
     def tf_of(term: str):
         # closure, NOT a defaulted second lambda param: F.filter treats a
         # two-parameter lambda as (element, index) and would bind the
@@ -92,11 +102,13 @@ def bm25_topn(
         )
 
     total = w_term(0)
+    matches = F.col("__tf0") > 0
     for i in range(1, len(terms)):
         total = total + w_term(i)
+        matches = matches | (F.col(f"__tf{i}") > 0)
     scored = (
         toks.crossJoin(F.broadcast(stats))
-        .where(F.greatest(*[F.col(f"__tf{i}") for i in range(len(terms))]) > 0)
+        .where(matches)
         .select(id_col, F.round(total, 4).alias("bm25"))
         .orderBy(F.col("bm25").desc(), id_col)
         .limit(depth)

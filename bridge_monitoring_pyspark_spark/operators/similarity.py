@@ -524,6 +524,33 @@ def hard_negative_topk(
     )
 
 
+# Broadcasts created by nearest_centroids_arrow, oldest first. A broadcast
+# must outlive every job that executes its mapInPandas plan, so the function
+# cannot unpersist eagerly; without cleanup, repeated index builds in one
+# process accumulate broadcast blocks on driver and executors (ADVICE r9).
+# Callers that have MATERIALIZED the returned DataFrame (parquet write,
+# collect, localCheckpoint) call release_assignment_broadcasts() to drop
+# every no-longer-referenced payload — see ivf_index_dir / appended_index_dir.
+_ASSIGN_BROADCASTS: list = []
+
+
+def release_assignment_broadcasts() -> int:
+    """Unpersist + destroy every broadcast minted by
+    :func:`nearest_centroids_arrow` so far, returning how many were
+    released. Only call after all DataFrames returned by prior calls have
+    been materialized (written, collected, or checkpointed) — a lazy plan
+    re-executed after release would fail to fetch its broadcast."""
+    n = len(_ASSIGN_BROADCASTS)
+    for bc in _ASSIGN_BROADCASTS:
+        try:
+            bc.unpersist()
+            bc.destroy()
+        except Exception:
+            pass  # context already stopped — nothing to free
+    _ASSIGN_BROADCASTS.clear()
+    return n
+
+
 def nearest_centroids_arrow(
     df: DataFrame,
     centroids: DataFrame,
@@ -550,6 +577,13 @@ def nearest_centroids_arrow(
     the decade-3 (20M x 4472) build exceed 30 minutes; this path is the
     same BLAS assignment ``ivf_topk(assignment="arrow")`` already ships,
     and the decade-3 measurement is what forced the unification.
+
+    Broadcast lifecycle: each call mints one driver broadcast (K x dim
+    floats) that must survive until the returned plan has executed; it is
+    registered in ``_ASSIGN_BROADCASTS`` and freed when a caller that has
+    materialized its results calls :func:`release_assignment_broadcasts`
+    (the per-sf_dir index builders do; one-shot query plans let process
+    exit reclaim the handful of live blocks).
     """
     cid_type = dict(centroids.dtypes)[cid_col]
     if cid_type not in ("int", "bigint"):
@@ -562,6 +596,7 @@ def nearest_centroids_arrow(
     c_rank = np.empty(len(c_ids), dtype=np.int64)
     c_rank[np.argsort(c_ids)] = np.arange(len(c_ids))
     bc = df.sparkSession.sparkContext.broadcast((c_ids, c_unit, c_rank))
+    _ASSIGN_BROADCASTS.append(bc)  # released by the caller post-materialize
     cid_np = np.int32 if cid_type == "int" else np.int64
     dtypes = dict(df.dtypes)
     schema = (

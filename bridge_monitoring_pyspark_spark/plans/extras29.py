@@ -31,7 +31,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity_prenorm, l2_norm
-from ..operators.similarity import nearest_centroids_arrow
+from ..operators.similarity import (
+    nearest_centroids_arrow,
+    release_assignment_broadcasts,
+)
 from ..operators.topk import top_k_per_group
 from ..sources.readers import load_table
 from .catalog import Query
@@ -88,6 +91,10 @@ def ivf_index_dir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     except BaseException:
         shutil.rmtree(base, ignore_errors=True)
         raise
+    # the write above materialized the only live assignment plan, so the
+    # centroid broadcasts are now dead weight — free them (ADVICE r9:
+    # repeated builds in one process otherwise accumulate broadcast blocks)
+    release_assignment_broadcasts()
     _IVF_INDEX[sf_dir] = (base, stride)
     return _IVF_INDEX[sf_dir]
 

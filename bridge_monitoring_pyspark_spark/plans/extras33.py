@@ -34,6 +34,7 @@ from ..functions.vectors import l2_norm
 from ..operators.topk import top_k_per_group
 from ..sources.readers import load_table
 from .catalog import Query
+from ..operators.similarity import release_assignment_broadcasts
 from .extras29 import IVF_IDX_N_QUERIES, IVF_IDX_PROBES, IVF_IDX_TOPK, _nearest_centroids
 
 _APPEND_INDEX: dict[str, tuple[str, int]] = {}
@@ -79,6 +80,9 @@ def appended_index_dir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     except BaseException:
         shutil.rmtree(base, ignore_errors=True)
         raise
+    # both generations are written, so the two assignment broadcasts are
+    # unreferenced — free them (ADVICE r9 lifecycle rule)
+    release_assignment_broadcasts()
     _APPEND_INDEX[sf_dir] = (base, stride)
     return _APPEND_INDEX[sf_dir]
 

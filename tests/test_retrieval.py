@@ -85,3 +85,26 @@ def test_temperature_mix_weights_replay(spark):
             assert r.oversample_ratio > 1
         if r.n_tokens > 1.1 * mean_tok:
             assert r.oversample_ratio < 1
+
+
+def test_bm25_single_term_and_duplicate_terms(spark):
+    """ADVICE r9: a single-term query is in-domain (the match predicate is
+    an OR-fold, not F.greatest), and duplicate query terms dedupe
+    first-seen instead of double-counting their score."""
+    from bridge_monitoring_pyspark_spark.operators.retrieval import bm25_topn
+    from bridge_monitoring_pyspark_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    single = [
+        (r.doc_id, r.sparse_rank) for r in bm25_topn(docs, ("hash",), 10).collect()
+    ]
+    assert single, "single-term query must rank matching docs"
+    duped = [
+        (r.doc_id, r.sparse_rank)
+        for r in bm25_topn(docs, ("hash", "hash"), 10).collect()
+    ]
+    assert duped == single
+    import pytest
+
+    with pytest.raises(ValueError):
+        bm25_topn(docs, (), 10)

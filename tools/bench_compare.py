@@ -62,10 +62,13 @@ def main() -> int:
     tag = "calibrated " if cal else ""
     for pct, name, a, b in sorted(moved, reverse=True):
         print(f"  {pct:+7.1f}%  {name:34s} {a:6.2f}s -> {b:6.2f}s ({tag}new)")
+    # [new] rows carry the same factor f so every per-query number in a
+    # calibrated report is in the OLD run's host-speed units; [removed]
+    # rows are old-run values, already in those units (ADVICE r9).
     for name in sorted(set(nq) - set(oq)):
-        print(f"  [new]     {name:34s}          -> {nq[name]:6.2f}s")
+        print(f"  [new]     {name:34s}          -> {nq[name] * f:6.2f}s ({tag}new)")
     for name in sorted(set(oq) - set(nq)):
-        print(f"  [removed] {name:34s} {oq[name]:6.2f}s")
+        print(f"  [removed] {name:34s} {oq[name]:6.2f}s (old units)")
     if not moved:
         print(f"  no common query moved more than {thr:.0f}%")
     return 0
