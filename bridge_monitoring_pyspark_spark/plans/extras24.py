@@ -11,14 +11,18 @@ cluster-blocked third, which is the variant the paper actually ran at
 LAION/CommonCrawl scale because the cluster index is reusable and the
 per-cluster work is embarrassingly parallel.
 
-Scale shape: assignment is one broadcast N x K pass (K ~ sqrt(N), the same
-rule the IVF witness uses), then one shuffle on cluster_id and
-within-cluster pairs (sum of c_i^2 ~ N^1.5 for balanced clusters). At
-100 TB you would feed real k-means centroids (kmeans_embeddings) and cap
-cluster size (split oversized clusters on a secondary hash) — the witness
-uses deterministic stride centroids so the DuckDB oracle can replay
-centroid choice, assignment tie-breaks, and the keep rule exactly,
-making this a hash-checked witness rather than a recall claim.
+Scale shape: assignment is one Arrow/BLAS matmul pass per batch against
+the broadcast centroid matrix (round 10 — the SQL crossJoin + interpreted
+HOF cosine it replaced was the repo's slowest decade-3 run, 1719 s at
+sf100), then one shuffle on cluster_id and within-cluster pairs (sum of
+c_i^2 ~ N^1.5 for balanced stride clusters). Two centroid rules are
+witnessed: ``semdedup_prune`` uses deterministic stride centroids
+(K ~ sqrt(N)) so the oracle replays centroid choice exactly, and
+``semdedup_prune_kmeans`` is the 100 TB production form — a trained
+fixed-K Lloyd model (plans/extras9) feeding the same assigner, O(N·K·d)
+BLAS with corpus-independent K. At 100 TB you would additionally cap
+cluster size (split oversized clusters on a secondary hash). Both are
+hash-checked witnesses, not recall claims.
 
 Keep rule (deterministic keep-first): within a cluster, a vector is
 DROPPED iff some lower-id vector in the same cluster has cosine
@@ -40,8 +44,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity_prenorm, l2_norm
+from ..operators.similarity import nearest_centroids_arrow
+from ..session import pinned_shuffle_partitions
 from ..sources.readers import load_table
 from .catalog import Query
+from .extras9 import KMEANS_ITERS, lloyd_centroids, lloyd_cte_parts
 
 SEMDEDUP_TAU = 0.4  # same near-dup threshold as the LSH/exact embedding twins
 
@@ -50,38 +57,34 @@ def _semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivors of SemDeDup pruning: (vec_id, cluster_id) for every vector
     NOT dropped by the keep-first rule, ordered by vec_id.
 
-    Assignment: nearest of K ~ sqrt(N) stride centroids under the engine's
-    standard deterministic order — round(cos, 6) DESC, centroid id ASC —
-    encoded as one BIGINT max_by key so the aggregate gets map-side
-    combine (no window over the N x K scored pairs). The centroid table is
-    broadcast; the corpus never shuffles until the per-cluster pair join."""
+    Assignment (round 10): the N x K nearest-centroid pass runs on the
+    Arrow/BLAS assigner (operators/similarity.nearest_centroids_arrow) —
+    one matmul per Arrow batch against the broadcast K ~ sqrt(N) centroid
+    matrix, zero shuffle. The original SQL crossJoin + higher-order-
+    function cosine was the exact pattern the round-9 decade-3 program
+    convicted in the IVF build (O(N^1.5) INTERPRETED pair work; 1719 s at
+    sf100, the slowest run in the whole scale program). Ordering contract
+    is unchanged — round(cos, 6) DESC half-away-from-zero, centroid id ASC
+    (stride cids are 0..K-1, so the assigner's rank tie-break IS the cid
+    tie-break) — so the DuckDB oracle below replays assignments exactly.
+    The corpus never shuffles until the per-cluster pair join."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     stride = int(math.isqrt(e.count()))  # one scalar action, K ~ sqrt(N)
     cents = e.where(F.col("vec_id") % stride == 0).select(
-        (F.col("vec_id") / stride).cast("int").alias("cid"),
-        F.col("embedding").alias("cv"),
-        l2_norm(F.col("embedding")).alias("cn"),
+        (F.col("vec_id") / stride).cast("int").alias("cid"), "embedding"
     )
-    scored = (
-        e.withColumn("vn", l2_norm(F.col("embedding")))
-        .crossJoin(F.broadcast(cents))
-        .withColumn(
-            "s",
-            cosine_similarity_prenorm(
-                F.col("embedding"), F.col("cv"), F.col("vn"), F.col("cn")
-            ),
-        )
-    )
-    # BIGINT composite key: micro-rounded similarity then smaller-cid
-    # tie-break. The double round before the cast matters — round(s,6)*1e6
-    # lands within fp-epsilon of an integer and Spark's bigint cast
-    # truncates while DuckDB's rounds, so both engines re-round to the
-    # exact integer first.
-    key = F.round(F.round(F.col("s"), 6) * 1000000, 0).cast("bigint") * F.lit(
-        10000000
-    ).cast("bigint") - F.col("cid")
-    assigned = scored.groupBy("vec_id").agg(F.max_by("cid", key).alias("cid"))
-    m = assigned.join(e, "vec_id")  # vec_id, cid, embedding
+    # (vec_id, embedding, cid): the assigner carries the vector through,
+    # so no re-join with the corpus is needed
+    m = nearest_centroids_arrow(e, cents, "vec_id", "embedding", "cid", 1)
+    return _prune_survivors(m)
+
+
+def _prune_survivors(m: DataFrame) -> DataFrame:
+    """Keep-first sweep over an assigned corpus ``m = (vec_id, embedding,
+    cid)``: a vector is dropped iff a lower-id vector in the same cluster
+    has round(cosine, 6) >= TAU with it. One equi-join on cid (pairs stay
+    inside their cluster's partition), shared by the stride-centroid and
+    fixed-K k-means variants."""
     left = m.select(
         F.col("cid"),
         F.col("vec_id").alias("vec_a"),
@@ -145,11 +148,72 @@ WHERE d.vec_b IS NULL
 ORDER BY vec_id
 """
 
+def _semdedup_prune_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-K SemDeDup — the 100 TB posture SCALING.md documents for the
+    stride witness, now running code: centroids are the trained
+    kmeans_embeddings model (K = KMEANS_K, KMEANS_ITERS Lloyd updates,
+    deterministic init — plans/extras9.lloyd_centroids), not every-
+    stride-th row, and the final assignment is the same Arrow/BLAS cosine
+    pass as the stride variant. K is pinned by the model, so the
+    assignment is O(N·K·d) BLAS work with a fixed K — the corpus-
+    independent cost the paper's production form relies on (vs the
+    stride rule's K ~ sqrt(N)). The keep-first sweep is the shared
+    per-cluster pair join. Oracle: the k-means witness's unrolled Lloyd
+    CTE chain (same model, bit-for-bit tie rules) + cosine arg_max
+    assignment + the standard sweep — hash-checked end to end."""
+    with pinned_shuffle_partitions(spark):
+        pts = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .localCheckpoint()  # scanned once per Lloyd iteration
+        )
+        model = lloyd_centroids(pts)
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in model], "cid int, embedding array<double>"
+    )
+    m = nearest_centroids_arrow(pts, cdf, "vec_id", "embedding", "cid", 1)
+    return _prune_survivors(m)  # (vec_id, cluster_id)
+
+
+def _semdedup_kmeans_sql() -> str:
+    ctes = ",\n".join(lloyd_cte_parts(final_assign=False))
+    return f"""
+WITH {ctes},
+assigned AS MATERIALIZED (
+  SELECT p.vec_id,
+         arg_max(c.cluster,
+                 CAST(round(round(list_cosine_similarity(
+                        CAST(p.embedding AS DOUBLE[]), c.cent), 6)
+                      * 1000000, 0) AS BIGINT) * 10000000 - c.cluster) AS cid
+  FROM pts p CROSS JOIN c{KMEANS_ITERS} c GROUP BY p.vec_id
+),
+m AS (
+  SELECT a.vec_id, a.cid, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM assigned a JOIN pts e USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT y.vec_id AS vec_b
+  FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {SEMDEDUP_TAU}
+)
+SELECT m.vec_id, m.cid AS cluster_id
+FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_b
+WHERE d.vec_b IS NULL
+ORDER BY vec_id
+"""
+
+
 QUERIES = [
     Query(
         "semdedup_prune",
         _semdedup_prune,
         _SEMDEDUP_SQL,
         ("llm", "dedup", "embedding", "semdedup"),
+    ),
+    Query(
+        "semdedup_prune_kmeans",
+        _semdedup_prune_kmeans,
+        _semdedup_kmeans_sql(),
+        ("llm", "dedup", "embedding", "semdedup", "iterative"),
     ),
 ]

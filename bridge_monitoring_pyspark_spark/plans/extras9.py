@@ -117,6 +117,33 @@ def _assign(points: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFram
     )
 
 
+def lloyd_centroids(pts: DataFrame) -> list[tuple[int, list[float]]]:
+    """Final centroid model after KMEANS_ITERS Lloyd updates (deterministic
+    init = the KMEANS_K lowest vec_ids). Per iteration: one narrow
+    assignment pass + one groupBy(cluster, dim) mean; only the k×64 model
+    crosses to the driver each round. ``pts`` should be materialized
+    (localCheckpoint) by the caller — it is scanned once per iteration.
+    Shared by the k-means witness below and the fixed-K SemDeDup variant
+    (plans/extras24.py), which feeds these centroids to the Arrow
+    assigner — the 100 TB posture SCALING.md documents."""
+    init = pts.orderBy("vec_id").limit(KMEANS_K).collect()
+    cents = [(i, list(map(float, r.embedding))) for i, r in enumerate(init)]
+    for _ in range(KMEANS_ITERS):
+        assigned = _assign(pts, cents)
+        new = (
+            assigned.select("cluster", F.posexplode("embedding").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
+            .select("cluster", F.col("dm.m").alias("centroid"))
+            .collect()
+        )
+        upd = {r.cluster: list(map(float, r.centroid)) for r in new}
+        cents = [(cid, upd.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
 def _kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (k=8, 5 iterations, deterministic init = the k
     lowest vec_ids) with the data plane fully distributed: per iteration
@@ -135,21 +162,7 @@ def _kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             # reused every iteration: materialize once
             .localCheckpoint()
         )
-        init = pts.orderBy("vec_id").limit(KMEANS_K).collect()
-        cents = [(i, list(map(float, r.embedding))) for i, r in enumerate(init)]
-        for _ in range(KMEANS_ITERS):
-            assigned = _assign(pts, cents)
-            new = (
-                assigned.select("cluster", F.posexplode("embedding").alias("dim", "x"))
-                .groupBy("cluster", "dim")
-                .agg(F.avg("x").alias("m"))
-                .groupBy("cluster")
-                .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
-                .select("cluster", F.col("dm.m").alias("centroid"))
-                .collect()
-            )
-            upd = {r.cluster: list(map(float, r.centroid)) for r in new}
-            cents = [(cid, upd.get(cid, vec)) for cid, vec in cents]
+        cents = lloyd_centroids(pts)
     final = _assign(pts, cents)
     return (
         final.groupBy("cluster")
@@ -161,11 +174,15 @@ def _kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle_sql() -> str:
-    """Unrolled fixed-iteration Lloyd's as one DuckDB query (same trick as
-    extras14's PageRank oracle): one assign/mean/update CTE triple per
+def lloyd_cte_parts(final_assign: bool) -> list[str]:
+    """Unrolled fixed-iteration Lloyd's as a DuckDB CTE chain (same trick
+    as extras14's PageRank oracle): one assign/mean/update CTE triple per
     iteration, AS MATERIALIZED so the single-use chain isn't inlined into
-    an exponentially-planned nest.
+    an exponentially-planned nest. The chain ends at ``c{KMEANS_ITERS}``
+    (the final centroid model); ``final_assign=True`` appends the
+    ``a{KMEANS_ITERS + 1}`` L2-argmin assignment CTE the k-means witness
+    reports. Reused by the fixed-K SemDeDup oracle (extras24.py), which
+    takes the model and assigns by cosine instead.
 
     Exactness: float→double casts are value-preserving, the argmin
     tie-break (row_number ORDER BY dist, cluster) mirrors Spark's
@@ -188,7 +205,8 @@ def _kmeans_oracle_sql() -> str:
   FROM (SELECT vec_id, embedding FROM pts ORDER BY vec_id LIMIT {KMEANS_K})
 )""",
     ]
-    for i in range(1, KMEANS_ITERS + 2):
+    last = KMEANS_ITERS + 1 if final_assign else KMEANS_ITERS
+    for i in range(1, last + 1):
         parts.append(f"""a{i} AS MATERIALIZED (
   SELECT vec_id, embedding, cluster FROM (
     SELECT p.vec_id, p.embedding, c.cluster,
@@ -209,7 +227,11 @@ def _kmeans_oracle_sql() -> str:
     ) a GROUP BY a.cluster
   ) n USING (cluster)
 )""")
-    ctes = ",\n".join(parts)
+    return parts
+
+
+def _kmeans_oracle_sql() -> str:
+    ctes = ",\n".join(lloyd_cte_parts(final_assign=True))
     return f"""
 WITH {ctes}
 SELECT cluster, CAST(count(*) AS BIGINT) AS n_points, min(vec_id) AS min_vec_id

@@ -67,7 +67,7 @@ def test_semdedup_drops_something_and_keeps_first(spark):
     assert min(all_ids) in kept
 
 
-def test_semdedup_plan_broadcasts_centroids(spark):
+def test_semdedup_plan_assigns_via_arrow_not_crossjoin(spark):
     plan = (
         all_queries()["semdedup_prune"]
         .build(spark, SF_SMOKE)
@@ -75,5 +75,72 @@ def test_semdedup_plan_broadcasts_centroids(spark):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
-    assert "BatchEvalPython" not in plan  # all codegen, no Python-row UDFs
+    # round-10 shape: the N x K assignment is one Arrow mapInPandas pass
+    # (BLAS matmul per batch) — the convicted crossJoin-HOF scorer, a
+    # BroadcastNestedLoopJoin over N x K interpreted cosines, must be gone
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan  # no Python-row UDFs anywhere
+
+
+def test_semdedup_kmeans_matches_numpy_replay(spark):
+    """Fixed-K variant: replay Lloyd (L2 argmin, init = K lowest ids) in
+    numpy, then the cosine assignment + keep-first sweep — end to end."""
+    from bridge_monitoring_pyspark_spark.plans.extras9 import (
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = [r.vec_id for r in rows]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    C = X[:KMEANS_K].copy()
+    for _ in range(KMEANS_ITERS):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for k in range(KMEANS_K):
+            if (a == k).any():
+                C[k] = X[a == k].mean(axis=0)
+
+    def cos(a_, b_):
+        return float(a_ @ b_ / (np.linalg.norm(a_) * np.linalg.norm(b_)))
+
+    assigned = {
+        vid: max(
+            range(KMEANS_K), key=lambda k: (round(cos(X[i], C[k]), 6), -k)
+        )
+        for i, vid in enumerate(ids)
+    }
+    emb = {vid: X[i] for i, vid in enumerate(ids)}
+    clusters: dict[int, list[int]] = {}
+    for vid in sorted(assigned):
+        clusters.setdefault(assigned[vid], []).append(vid)
+    want = {}
+    for cid, members in clusters.items():
+        for i, b in enumerate(members):
+            if not any(
+                round(cos(emb[a], emb[b]), 6) >= SEMDEDUP_TAU
+                for a in members[:i]
+            ):
+                want[b] = cid
+    got = {
+        r.vec_id: r.cluster_id
+        for r in all_queries()["semdedup_prune_kmeans"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == want
+
+
+def test_semdedup_kmeans_plan_uses_arrow_assigner(spark):
+    plan = (
+        all_queries()["semdedup_prune_kmeans"]
+        .build(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
