@@ -50,20 +50,26 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "watermark_retention_sim",
     "rejected_union_by_name",
     "csv_dim_roundtrip",  # S4
-    "asof_last_order_before_event",
+    # round-10 rotation (VERDICT r9 item 4): driver-verify the cogroup +
+    # applyInPandas as-of merge (plans/extras8.py) — the #1 bench cost and
+    # the most expensive never-driver-verified entry. Its slot was
+    # asof_last_order_before_event, driver-green since round 3; the as-of
+    # join semantic stays witnessed in-window by this entry (same keys,
+    # same tolerance rule) and the JVM-side union-window form stays
+    # oracle-checked from position 51+.
+    "cogrouped_asof_merge",
     "session_window_stats",  # T2 session
     # streaming forms (S1-S3, S6-S7, T1-T7)
     "streaming_json_ingest",
     "streaming_silver_enriched",
     "streaming_gold_metrics",
-    # round-9 rotation (VERDICT r8 item 5): driver-verify the stream-stream
-    # LEFT SEMI join (plans/extras30.py). Its slot was
-    # streaming_stateful_dedup — stateful streaming stays witnessed
-    # in-window by streaming_session_timeout_flush (timers),
-    # streaming_restart_exactly_once (state WAL) and
-    # streaming_gold_metrics (chained stateful); dropDuplicates-with-
-    # watermark stays oracle-checked from position 51+.
-    "streaming_semi_join",
+    # round-10 rotation (VERDICT r9 item 4): driver-verify the watermarked
+    # stream-stream LEFT OUTER join, never inside the window before. Its
+    # slot was streaming_semi_join, driver-green in r9 — the stream-stream
+    # family stays witnessed in-window by this entry plus
+    # streaming_interval_join below, and the semi join stays oracle-checked
+    # from position 51+.
+    "streaming_left_outer_join",
     "streaming_restart_exactly_once",  # T4
     # relational / plan-quality headliners (O1-O3, §2.5 windows)
     "q1_pricing_summary",
@@ -75,12 +81,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # LLM-data pipeline suite
     "lang_id_heuristic",
     "text_quality_stats",
-    # round-9 rotation (VERDICT r8 item 5): driver-verify the Viterbi
-    # unigram-LM segmentation DP (operators/unigram.py). Its slot was
-    # token_count_estimate — tokenization stays witnessed in-window by
-    # bpe_train_merges plus this entry, and the whitespace/BPE-regex token
-    # counter stays oracle-checked from position 51+.
-    "viterbi_segment_stats",
+    # round-10 rotation (VERDICT r9 item 4): driver-verify the
+    # foreachBatch MERGE/upsert witness, never inside the window before.
+    # Its slot was viterbi_segment_stats, driver-green in r9 —
+    # tokenization stays witnessed in-window by bpe_train_merges, and the
+    # Viterbi DP stays oracle-checked from position 51+.
+    "streaming_foreachbatch_upsert",
     "dedup_exact_docs",
     "neardup_minhash_lsh_pairs",
     # round-9 rotation (VERDICT r8 item 5): driver-verify the distributed
@@ -129,9 +135,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # scan), hybrid_rrf_retrieval (dense leg) and this IVF entry, and the
     # PQ tier stays oracle-checked from position 51+.
     "ann_ivf_index_append",
-    # round-7 addition (see above): decoded-image perceptual dedup; its
-    # displaced twin multimodal_features stays oracle-checked from 51+.
-    "phash_image_dedup",
+    # round-10 rotation (VERDICT r9 item 4): driver-verify the end-to-end
+    # dedup pipeline (exact -> LSH -> verify -> connected components ->
+    # survivors, plans/advanced.py), never inside the window before and
+    # one of the most expensive bench entries. Its slot was
+    # phash_image_dedup, driver-green since r7 — image-modality coverage
+    # stays witnessed in-window by the PNG/WAV/Y4M/JPEG decodes, and
+    # perceptual-hash dedup stays oracle-checked from position 51+.
+    "dedup_pipeline_survivors",
     # round-8 rotation (VERDICT r7 item 6): driver-verify the three most
     # expensive previously-ORACLE-only witnesses — stats-driven join
     # reordering, the salted stream-stream interval join (the heaviest
@@ -143,13 +154,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # jaccard / simhash / components). All three displaced entries remain
     # oracle-checked from position 51+.
     "cbo_join_reorder",
-    # round-9 rotation (VERDICT r8 item 5): driver-verify the stream-stream
-    # FULL OUTER join (plans/extras30.py). Its slot was
-    # streaming_salted_interval_join, driver-verified green in r8 — the
-    # salted interval join stays oracle-checked from position 51+, and the
-    # stream-stream join family is witnessed in-window by the semi +
-    # full-outer pair (the interval INNER shape is their superset plan).
-    "streaming_full_outer_join",
+    # round-10 rotation (VERDICT r9 item 4): driver-verify the watermarked
+    # stream-stream INTERVAL join (event-time range condition), never
+    # inside the window before. Its slot was streaming_full_outer_join,
+    # driver-green in r9 — the stream-stream family stays witnessed
+    # in-window by the left-outer + interval pair, and the full-outer and
+    # semi shapes stay oracle-checked from position 51+.
+    "streaming_interval_join",
     "pagerank_transitions",
     # round-8 addition, driver-verified from day one: the real WAV/PCM
     # audio decode (plans/extras25.py) — the audio modality's analogue of
@@ -227,6 +238,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "neardup_components",
     "streaming_salted_interval_join",
     "ann_pq_adc_topk",
+    # displaced by the round-10 rotation; still oracle-checked every round
+    "asof_last_order_before_event",
+    "streaming_semi_join",
+    "viterbi_segment_stats",
+    "phash_image_dedup",
+    "streaming_full_outer_join",
 )
 
 
