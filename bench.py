@@ -153,6 +153,7 @@ def main() -> None:
                     "n_errors": len(errors),
                     "timing": "min_of_runs",
                     "n_rerun": n_rerun,
+                    "coverage_ok": n_rerun >= len(timings) + len(errors),
                     "wall_clock_sec": round(time.time() - t_suite, 3),
                     "calibration_sec": calib,
                     "partial": True,
@@ -209,6 +210,12 @@ def main() -> None:
         "n_errors": len(errors),
         "timing": "min_of_runs",
         "n_rerun": n_rerun,
+        # Rerun-coverage floor (VERDICT r9 item 6): minima only mean
+        # "min of runs" if reruns actually covered the catalog. True iff
+        # every query got at least one rerun's worth of budget (n_rerun >=
+        # catalog size); False flags a value that drifts toward cold-pass
+        # semantics — BASELINE.md's comparability rule, machine-checkable.
+        "coverage_ok": n_rerun >= len(timings) + len(errors),
         "wall_clock_sec": None if fatal else wall,
         "calibration_sec": calib,
         # catalog growth vs engine slowdown must be separable round-over-
