@@ -44,3 +44,34 @@ def test_stream_rate_scoring_matches_python_replay(spark):
     # degenerate all-keep or all-drop pipeline would make the rows/s
     # figure meaningless
     assert 0 < len(expected) < n
+
+
+def test_timer_sessionize_idle_pattern(spark):
+    """The timer-sessionize mode's projection must give every key idle
+    seconds (that's what forces the EventTimeTimeout path) while keeping
+    the stream non-degenerate: each key active exactly
+    (SESS_IDLE_EVERY - 1) of every SESS_IDLE_EVERY seconds."""
+    from tools.bench_stream_rate import (
+        SESS_IDLE_EVERY,
+        SESS_KEYS,
+        timer_sessionize_events,
+    )
+
+    seconds = SESS_IDLE_EVERY * 2
+    rows_per_sec = SESS_KEYS  # every key appears once per second
+    src = spark.range(seconds * rows_per_sec).select(
+        F.timestamp_seconds(F.col("id") / rows_per_sec).alias("timestamp"),
+        F.col("id").alias("value"),
+    )
+    got = (
+        timer_sessionize_events(src)
+        .groupBy("skey")
+        .count()
+        .collect()
+    )
+    assert len(got) == SESS_KEYS
+    per_key = seconds - seconds // SESS_IDLE_EVERY
+    assert {r["count"] for r in got} == {per_key}
+    # per-key timestamps step in whole seconds, so us gaps within an
+    # active stretch are 1s = 2x SESS_GAP_US: every batch burst is its
+    # own session, closing continuously

@@ -40,9 +40,22 @@ spin-up).
 sustained-rate twins of the plans/extras30.py stream-stream join matrix —
 see ``build_semi_or_outer``.
 
+``--mode timer-sessionize`` (round 10, VERDICT r9 item 5) is the
+sustained-rate twin of ``streaming_session_timeout_flush`` — the
+applyInPandasWithState sessionizer with EVENT-TIME TIMERS
+(streaming/stateful.py): per-key gap sessions where every key sits out
+every ``SESS_IDLE_EVERY``-th second, so its open session MUST flush via
+the timer firing on an empty-input key and its state row MUST be removed
+— the unbounded-keyspace eviction path, measured at rate. This is the
+only mode whose per-batch work crosses into Python (Arrow batches per
+key group); use a smaller ``--rows-per-batch`` (~250k) than the codegen
+modes. Bounded state is the claim under test: state_rows must stay
+O(SESS_KEYS x retained segments), not grow with runtime.
+
 Usage:
     python tools/bench_stream_rate.py [--seconds 60] [--rows-per-batch 1000000]
-        [--mode stateless|stateful|interval-join|semi-join|full-outer-join]
+        [--mode stateless|stateful|interval-join|semi-join|full-outer-join|
+         timer-sessionize]
         [--out STREAM_RATE.json]
 
 Writes {mode, config, rows_total, rows_per_sec_mean, rows_per_sec_max,
@@ -242,12 +255,66 @@ def build_semi_or_outer(spark, rows_per_batch: int, partitions: int, mode: str):
     ).select("click_id", "purchase_id", "c_user", "p_user")
 
 
+SESS_KEYS = 4096  # key cardinality of the timer-sessionize mode
+SESS_GAP_US = 500_000  # 0.5 s gap < the 1 s batch advance: one session/batch
+SESS_IDLE_EVERY = 4  # each key sits out every 4th second -> timers MUST fire
+
+
+def timer_sessionize_events(src):
+    """Projection + idle pattern for the timer-sessionize mode, split out
+    so pytest can replay it in batch: (skey, ts, us) where each key is
+    absent whenever (second + skey) % SESS_IDLE_EVERY == 0. The absence is
+    what forces the EventTimeTimeout path — an idle key's session can only
+    flush via its timer firing with an empty input iterator, after which
+    the state row is removed (streaming/stateful.py emission rule)."""
+    return (
+        src.select(
+            (F.col("value") % SESS_KEYS).alias("skey"),
+            F.col("timestamp").alias("ts"),
+            F.unix_micros(F.col("timestamp")).alias("us"),
+        )
+        .where(
+            F.pmod(
+                (F.unix_millis(F.col("ts")) / 1000).cast("long") + F.col("skey"),
+                F.lit(SESS_IDLE_EVERY),
+            )
+            != 0
+        )
+        .withWatermark("ts", "1 second")
+    )
+
+
+def build_timer_sessionize(spark, rows_per_batch: int, partitions: int):
+    """Sustained-rate twin of streaming_session_timeout_flush: the
+    applyInPandasWithState gap-sessionizer with event-time timers. Every
+    rate-micro-batch advances event time 1 s; the 0.5 s gap closes each
+    batch's per-key burst as its own session, flushed when the watermark
+    (1 s delay) passes session_end + gap — through the data path while a
+    key stays active, through the TIMER path on its idle seconds."""
+    from bridge_monitoring_pyspark_spark.streaming.stateful import (
+        streaming_sessionize_timeout,
+    )
+
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", str(rows_per_batch))
+        .option("numPartitions", str(partitions))
+        .option("advanceMillisPerBatch", "1000")
+        .load()
+    )
+    return streaming_sessionize_timeout(
+        timer_sessionize_events(src), "skey", "us", SESS_GAP_US
+    )
+
+
 def build_pipeline(spark, rows_per_batch: int, partitions: int, mode: str):
     """rate-micro-batch source -> synth doc -> codegen score -> keep/drop."""
     if mode == "interval-join":
         return build_interval_join(spark, rows_per_batch, partitions)
     if mode in ("semi-join", "full-outer-join"):
         return build_semi_or_outer(spark, rows_per_batch, partitions, mode)
+    if mode == "timer-sessionize":
+        return build_timer_sessionize(spark, rows_per_batch, partitions)
     src = (
         spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", str(rows_per_batch))
@@ -280,7 +347,7 @@ def main() -> None:
     ap.add_argument(
         "--mode",
         choices=("stateless", "stateful", "interval-join", "semi-join",
-                 "full-outer-join"),
+                 "full-outer-join", "timer-sessionize"),
         default="stateless",
     )
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
