@@ -40,10 +40,12 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity_prenorm, l2_norm
 from ..operators.similarity import nearest_centroids_arrow
 from ..session import pinned_shuffle_partitions
 from ..sources.readers import load_table
@@ -79,42 +81,51 @@ def _semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prune_survivors(m)
 
 
+_SWEEP_BLOCK = 2048  # row-block size of the per-cluster cosine matmul
+
+
 def _prune_survivors(m: DataFrame) -> DataFrame:
     """Keep-first sweep over an assigned corpus ``m = (vec_id, embedding,
     cid)``: a vector is dropped iff a lower-id vector in the same cluster
-    has round(cosine, 6) >= TAU with it. One equi-join on cid (pairs stay
-    inside their cluster's partition), shared by the stride-centroid and
-    fixed-K k-means variants."""
-    left = m.select(
-        F.col("cid"),
-        F.col("vec_id").alias("vec_a"),
-        F.col("embedding").alias("va"),
-        l2_norm(F.col("embedding")).alias("na"),
-    )
-    right = m.select(
-        F.col("cid"),
-        F.col("vec_id").alias("vec_b"),
-        F.col("embedding").alias("vb"),
-        l2_norm(F.col("embedding")).alias("nb"),
-    )
-    dropped = (
-        left.join(right, "cid")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .where(
-            F.round(
-                cosine_similarity_prenorm(
-                    F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
-                ),
-                6,
-            )
-            >= SEMDEDUP_TAU
+    has round(cosine, 6) >= TAU with it. Shared by the stride-centroid
+    and fixed-K k-means variants.
+
+    Round-10 plan: one shuffle on cid, then each cluster sweeps itself in
+    a single applyInPandas call — blockwise BLAS matmul over the
+    normalized member matrix plus a strictly-lower-triangle any() per
+    row, the same quantize-half-up rounding contract as the assigner.
+    The self-join form this replaces evaluated the same sum(c_i^2)
+    within-cluster pairs through the interpreted higher-order-function
+    cosine — after the assignment moved to BLAS (this round's first
+    fix), that sweep was the whole remaining decade-3 cost (1091 s of
+    the sf100 run). Memory per task is bounded at (block x cluster)
+    int64 regardless of cluster size; a pathologically skewed cluster is
+    the documented failure mode and is capped upstream at 100 TB (split
+    on a secondary hash)."""
+    from ..operators.similarity import _normalized_batch, _quantize_half_up
+
+    tau_q = int(round(SEMDEDUP_TAU * 1_000_000))
+    id_t = dict(m.dtypes)["vec_id"]
+    cid_t = dict(m.dtypes)["cid"]
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
+        unit = _normalized_batch(pdf["embedding"])
+        c = len(pdf)
+        drop = np.zeros(c, dtype=bool)
+        for s in range(0, c, _SWEEP_BLOCK):
+            e = min(s + _SWEEP_BLOCK, c)
+            q = _quantize_half_up(unit[s:e] @ unit[:e].T)  # (block, e)
+            # row b = s+i may only be dropped by columns a < b
+            mask = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            drop[s:e] = ((q >= tau_q) & mask).any(axis=1)
+        return pdf.loc[~drop, ["vec_id", "cid"]].rename(
+            columns={"cid": "cluster_id"}
         )
-        .select("vec_b")
-        .distinct()
-    )
+
     return (
-        m.join(dropped, m.vec_id == dropped.vec_b, "left_anti")
-        .select("vec_id", F.col("cid").alias("cluster_id"))
+        m.groupBy("cid")
+        .applyInPandas(sweep, f"vec_id {id_t}, cluster_id {cid_t}")
         .orderBy("vec_id")
     )
 
