@@ -82,3 +82,38 @@ def test_k_anonymity_doc_counts_conserved(spark):
     rows = all_queries()["k_anonymity_generalize"].build(spark, SF_SMOKE).collect()
     total = load_table(spark, SF_SMOKE, "documents").count()
     assert sum(r.n_docs for r in rows) == total
+
+
+def test_assignment_broadcasts_released_after_index_build(spark):
+    """ADVICE r9: repeated index builds must not accumulate centroid
+    broadcasts. A FRESH ivf_index_dir build ends with an empty registry,
+    and assignment still works afterwards (new broadcast, releasable)."""
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from bridge_monitoring_pyspark_spark.operators import similarity as sim
+    from bridge_monitoring_pyspark_spark.plans import extras29
+    from bridge_monitoring_pyspark_spark.sources.readers import load_table
+
+    sim.release_assignment_broadcasts()  # earlier tests' probe plans
+    cached = extras29._IVF_INDEX.pop(SF_SMOKE, None)
+    try:
+        fresh_dir, _ = extras29.ivf_index_dir(spark, SF_SMOKE)
+        assert sim._ASSIGN_BROADCASTS == []  # build released its own
+    finally:
+        rebuilt = extras29._IVF_INDEX.pop(SF_SMOKE, None)
+        if rebuilt:
+            shutil.rmtree(rebuilt[0], ignore_errors=True)
+        if cached:
+            extras29._IVF_INDEX[SF_SMOKE] = cached
+    # a fresh assignment after release must still compute (new broadcast)
+    e = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    cents = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("int").alias("cid"), "embedding"
+    )
+    got = sim.nearest_centroids_arrow(e, cents, "vec_id", "embedding", "cid", 1)
+    assert got.count() == e.count()
+    assert len(sim._ASSIGN_BROADCASTS) == 1
+    assert sim.release_assignment_broadcasts() == 1
+    assert sim._ASSIGN_BROADCASTS == []
