@@ -260,7 +260,7 @@ SESS_GAP_US = 500_000  # 0.5 s gap < the 1 s batch advance: one session/batch
 SESS_IDLE_EVERY = 4  # each key sits out every 4th second -> timers MUST fire
 
 
-def timer_sessionize_events(src):
+def timer_sessionize_events(src, n_keys: int = SESS_KEYS):
     """Projection + idle pattern for the timer-sessionize mode, split out
     so pytest can replay it in batch: (skey, ts, us) where each key is
     absent whenever (second + skey) % SESS_IDLE_EVERY == 0. The absence is
@@ -269,7 +269,7 @@ def timer_sessionize_events(src):
     the state row is removed (streaming/stateful.py emission rule)."""
     return (
         src.select(
-            (F.col("value") % SESS_KEYS).alias("skey"),
+            (F.col("value") % n_keys).alias("skey"),
             F.col("timestamp").alias("ts"),
             F.unix_micros(F.col("timestamp")).alias("us"),
         )
@@ -284,7 +284,9 @@ def timer_sessionize_events(src):
     )
 
 
-def build_timer_sessionize(spark, rows_per_batch: int, partitions: int):
+def build_timer_sessionize(
+    spark, rows_per_batch: int, partitions: int, n_keys: int = SESS_KEYS
+):
     """Sustained-rate twin of streaming_session_timeout_flush: the
     applyInPandasWithState gap-sessionizer with event-time timers. Every
     rate-micro-batch advances event time 1 s; the 0.5 s gap closes each
@@ -303,18 +305,19 @@ def build_timer_sessionize(spark, rows_per_batch: int, partitions: int):
         .load()
     )
     return streaming_sessionize_timeout(
-        timer_sessionize_events(src), "skey", "us", SESS_GAP_US
+        timer_sessionize_events(src, n_keys), "skey", "us", SESS_GAP_US
     )
 
 
-def build_pipeline(spark, rows_per_batch: int, partitions: int, mode: str):
+def build_pipeline(spark, rows_per_batch: int, partitions: int, mode: str,
+                   n_keys: int = SESS_KEYS):
     """rate-micro-batch source -> synth doc -> codegen score -> keep/drop."""
     if mode == "interval-join":
         return build_interval_join(spark, rows_per_batch, partitions)
     if mode in ("semi-join", "full-outer-join"):
         return build_semi_or_outer(spark, rows_per_batch, partitions, mode)
     if mode == "timer-sessionize":
-        return build_timer_sessionize(spark, rows_per_batch, partitions)
+        return build_timer_sessionize(spark, rows_per_batch, partitions, n_keys)
     src = (
         spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", str(rows_per_batch))
@@ -352,11 +355,34 @@ def main() -> None:
     )
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
     ap.add_argument("--out", default=None, help="JSON output path (default: print only)")
+    ap.add_argument(
+        "--keys", type=int, default=SESS_KEYS,
+        help="key cardinality of the timer-sessionize mode; raise to make "
+             "state LARGE (millions of open sessions) for the hdfs-vs-"
+             "rocksdb provider A-B — per-batch full-map snapshots scale "
+             "with state, RocksDB changelogs with the delta",
+    )
+    ap.add_argument(
+        "--state-store",
+        choices=("hdfs", "rocksdb"),
+        default="hdfs",
+        help="state store provider for stateful modes: the default "
+             "HDFS-backed in-memory map (snapshots the FULL state per "
+             "batch) or RocksDB (incremental changelog — the provider a "
+             "100 TB deployment runs, and the answer to the decade-3 "
+             "sessionizer adjudication in SCALING.md)",
+    )
     a = ap.parse_args()
 
     spark = get_spark(master=f"local[{a.cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
-    df = build_pipeline(spark, a.rows_per_batch, int(a.cpus), a.mode)
+    if a.state_store == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    df = build_pipeline(spark, a.rows_per_batch, int(a.cpus), a.mode, a.keys)
     mode_out = "update" if a.mode == "stateful" else "append"
     q = (
         df.writeStream.format("noop")
@@ -384,6 +410,8 @@ def main() -> None:
             state_bytes += so.get("memoryUsedBytes", 0)
     result = {
         "mode": a.mode,
+        "state_store": a.state_store,
+        "keys": a.keys,
         "seconds": a.seconds,
         "rows_per_batch": a.rows_per_batch,
         "cpus": int(a.cpus),
@@ -398,12 +426,14 @@ def main() -> None:
     print(json.dumps(result, indent=1))
     if a.out:
         path = os.path.join(REPO, a.out) if not os.path.isabs(a.out) else a.out
-        # merge modes into one artifact keyed by mode
+        # merge modes into one artifact keyed by mode (+ non-default
+        # state store, so an hdfs/rocksdb A-B keeps both rows)
+        key = a.mode if a.state_store == "hdfs" else f"{a.mode}-{a.state_store}"
         existing = {}
         if os.path.exists(path):
             with open(path) as f:
                 existing = json.load(f)
-        existing[a.mode] = result
+        existing[key] = result
         with open(path, "w") as f:
             json.dump(existing, f, indent=1)
             f.write("\n")
