@@ -206,15 +206,25 @@ def _dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the pipeline's eager stages (checkpoints + the CC loop) materialize
     # through the RDD path, bypassing AQE coalescing: pin the shuffle
     # partition count for their duration (session.pinned_shuffle_partitions)
+    from pyspark import StorageLevel
+
     with pinned_shuffle_partitions(spark):
         # materialize both reused stages once: `exact` feeds the postings
         # AND the final anti-join; `p` is read by candidate generation,
-        # verify, and both size lookups — without checkpoints each
-        # reference re-runs the dedup window + full-corpus shingling
+        # verify, and both size lookups — without persistence each
+        # reference re-runs the dedup window + full-corpus shingling.
+        # DISK_ONLY, not localCheckpoint (round 10): these two stages are
+        # corpus-sized (full text + all shingle postings), and
+        # localCheckpoint's deserialized MEMORY_AND_DISK blocks OOM'd the
+        # 16 GB single-JVM heap at sf100 (5M docs) before spilling —
+        # serialized disk blocks bound the heap at any corpus size, which
+        # is also the durable-staging posture a 100 TB pipeline runs.
         exact = exact_dedup_min_by(
             docs, "text", "doc_id", ["doc_id", "text"]
-        ).localCheckpoint()
-        p = shingle_postings(exact, "doc_id", "text", SHINGLE_N).localCheckpoint()
+        ).persist(StorageLevel.DISK_ONLY)
+        p = shingle_postings(exact, "doc_id", "text", SHINGLE_N).persist(
+            StorageLevel.DISK_ONLY
+        )
         cands = minhash_lsh_candidates(p, num_hashes=128, rows_per_band=4)
         pairs = verify_candidates_jaccard(cands, p, JACCARD_THRESHOLD)
         comps = neardup_components(pairs)
