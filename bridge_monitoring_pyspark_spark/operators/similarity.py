@@ -529,26 +529,37 @@ def hard_negative_topk(
 # cannot unpersist eagerly; without cleanup, repeated index builds in one
 # process accumulate broadcast blocks on driver and executors (ADVICE r9).
 # Callers that have MATERIALIZED the returned DataFrame (parquet write,
-# collect, localCheckpoint) call release_assignment_broadcasts() to drop
-# every no-longer-referenced payload — see ivf_index_dir / appended_index_dir.
+# collect, localCheckpoint) take a mark first and release only their own
+# mints (ADVICE r10: a blanket clear would destroy broadcasts referenced by
+# OTHER callers' still-lazy plans) — see ivf_index_dir / appended_index_dir.
 _ASSIGN_BROADCASTS: list = []
 
 
-def release_assignment_broadcasts() -> int:
-    """Unpersist + destroy every broadcast minted by
-    :func:`nearest_centroids_arrow` so far, returning how many were
-    released. Only call after all DataFrames returned by prior calls have
-    been materialized (written, collected, or checkpointed) — a lazy plan
-    re-executed after release would fail to fetch its broadcast."""
-    n = len(_ASSIGN_BROADCASTS)
-    for bc in _ASSIGN_BROADCASTS:
+def assignment_broadcast_mark() -> int:
+    """Registry watermark. Take before minting assignment plans; pass to
+    :func:`release_assignment_broadcasts` to free only the broadcasts
+    created after the mark, leaving earlier callers' live plans intact."""
+    return len(_ASSIGN_BROADCASTS)
+
+
+def release_assignment_broadcasts(since: int = 0) -> int:
+    """Unpersist + destroy the broadcasts minted by
+    :func:`nearest_centroids_arrow` at registry position ``since`` or
+    later (default: all of them), returning how many were released. Only
+    release broadcasts whose DataFrames have been materialized (written,
+    collected, or checkpointed) — a lazy plan re-executed after release
+    would fail to fetch its broadcast. Scoped callers pair this with
+    :func:`assignment_broadcast_mark` so unrelated callers' pending plans
+    survive (ADVICE r10)."""
+    released = _ASSIGN_BROADCASTS[since:]
+    for bc in released:
         try:
             bc.unpersist()
             bc.destroy()
         except Exception:
             pass  # context already stopped — nothing to free
-    _ASSIGN_BROADCASTS.clear()
-    return n
+    del _ASSIGN_BROADCASTS[since:]
+    return len(released)
 
 
 def nearest_centroids_arrow(

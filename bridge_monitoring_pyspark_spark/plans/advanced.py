@@ -229,7 +229,21 @@ def _dedup_pipeline_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = verify_candidates_jaccard(cands, p, JACCARD_THRESHOLD)
         comps = neardup_components(pairs)
     dropped = comps.where(F.col("doc_id") != F.col("component_id")).select("doc_id")
-    return exact.join(dropped, "doc_id", "left_anti").select("doc_id").orderBy("doc_id")
+    # Materialize the (small: one long per survivor) result eagerly, then
+    # drop the two corpus-sized staged blocks before returning (ADVICE
+    # r10): without the unpersist, Spark's CacheManager matches the
+    # canonicalized plans on the NEXT build of this query and serves the
+    # first run's disk blocks — bench reruns would time a warm-stage-cache
+    # semantic, and the corpus-sized blocks would stay allocated for the
+    # rest of the suite.
+    survivors = (
+        exact.join(dropped, "doc_id", "left_anti")
+        .select("doc_id")
+        .localCheckpoint()  # eager; breaks lineage into the staged blocks
+    )
+    exact.unpersist()
+    p.unpersist()
+    return survivors.orderBy("doc_id")
 
 
 _SURVIVORS_SQL = rf"""

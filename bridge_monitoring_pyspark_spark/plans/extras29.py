@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity_prenorm, l2_norm
 from ..operators.similarity import (
+    assignment_broadcast_mark,
     nearest_centroids_arrow,
     release_assignment_broadcasts,
 )
@@ -82,6 +83,7 @@ def ivf_index_dir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     centroids = e.where(F.col("vec_id") % stride == 0).select(
         (F.col("vec_id") / stride).cast("int").alias("cid"), "embedding"
     )
+    mark = assignment_broadcast_mark()  # scope the release to OUR mints
     assigned = _nearest_centroids(e, centroids, 1).select(
         "vec_id", "embedding", "cid"
     )
@@ -91,10 +93,11 @@ def ivf_index_dir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     except BaseException:
         shutil.rmtree(base, ignore_errors=True)
         raise
-    # the write above materialized the only live assignment plan, so the
-    # centroid broadcasts are now dead weight — free them (ADVICE r9:
-    # repeated builds in one process otherwise accumulate broadcast blocks)
-    release_assignment_broadcasts()
+    # the write above materialized the only assignment plan minted after
+    # `mark`, so THIS build's centroid broadcast is dead weight — free it
+    # without touching earlier callers' still-lazy plans (ADVICE r9 for
+    # the accumulation, ADVICE r10 for the scoping)
+    release_assignment_broadcasts(since=mark)
     _IVF_INDEX[sf_dir] = (base, stride)
     return _IVF_INDEX[sf_dir]
 

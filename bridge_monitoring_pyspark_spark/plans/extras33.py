@@ -34,7 +34,10 @@ from ..functions.vectors import l2_norm
 from ..operators.topk import top_k_per_group
 from ..sources.readers import load_table
 from .catalog import Query
-from ..operators.similarity import release_assignment_broadcasts
+from ..operators.similarity import (
+    assignment_broadcast_mark,
+    release_assignment_broadcasts,
+)
 from .extras29 import IVF_IDX_N_QUERIES, IVF_IDX_PROBES, IVF_IDX_TOPK, _nearest_centroids
 
 _APPEND_INDEX: dict[str, tuple[str, int]] = {}
@@ -68,6 +71,7 @@ def appended_index_dir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     stride = int(math.isqrt(initial.count()))
     cents = _frozen_centroids(e, stride)
     base = tempfile.mkdtemp(prefix="eng_ivf_append_")
+    mark = assignment_broadcast_mark()  # scope the release to OUR mints
     try:
         _nearest_centroids(initial, cents, 1).select(
             "vec_id", "embedding", "cid"
@@ -80,9 +84,10 @@ def appended_index_dir(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     except BaseException:
         shutil.rmtree(base, ignore_errors=True)
         raise
-    # both generations are written, so the two assignment broadcasts are
-    # unreferenced — free them (ADVICE r9 lifecycle rule)
-    release_assignment_broadcasts()
+    # both generations are written, so the two assignment broadcasts this
+    # build minted are unreferenced — free exactly those, leaving earlier
+    # callers' lazy plans intact (ADVICE r9 lifecycle, ADVICE r10 scoping)
+    release_assignment_broadcasts(since=mark)
     _APPEND_INDEX[sf_dir] = (base, stride)
     return _APPEND_INDEX[sf_dir]
 

@@ -12,6 +12,17 @@ from bridge_monitoring_pyspark_spark.sources.readers import load_table
 
 from testdata_paths import SF_SMOKE
 
+# Engine rounding rule (ADVICE r10): quantize to int micro-units rounding
+# half AWAY FROM ZERO — Python round() is half-to-even, so a cosine landing
+# exactly on a .5 micro-unit boundary would make the replay disagree with a
+# correct engine result. Same rule as similarity._quantize_half_up and the
+# DuckDB oracle's round().
+_TAU_Q = int(math.floor(SEMDEDUP_TAU * 1_000_000 + 0.5))
+
+
+def _q6(x: float) -> int:
+    return int(math.copysign(math.floor(abs(x) * 1_000_000 + 0.5), x))
+
 
 def _numpy_semdedup(emb: dict[int, np.ndarray]):
     """First-principles replay: stride centroids, round(cos,6)-desc /
@@ -27,7 +38,7 @@ def _numpy_semdedup(emb: dict[int, np.ndarray]):
     assigned = {}
     for vid, v in emb.items():
         best = max(
-            cents.items(), key=lambda cv: (round(cos(v, cv[1]), 6), -cv[0])
+            cents.items(), key=lambda cv: (_q6(cos(v, cv[1])), -cv[0])
         )[0]
         assigned[vid] = best
     clusters: dict[int, list[int]] = {}
@@ -37,7 +48,7 @@ def _numpy_semdedup(emb: dict[int, np.ndarray]):
     for cid, members in clusters.items():
         for i, b in enumerate(members):
             dropped = any(
-                round(cos(emb[a], emb[b]), 6) >= SEMDEDUP_TAU for a in members[:i]
+                _q6(cos(emb[a], emb[b])) >= _TAU_Q for a in members[:i]
             )
             if not dropped:
                 survivors[b] = cid
@@ -108,7 +119,7 @@ def test_semdedup_kmeans_matches_numpy_replay(spark):
 
     assigned = {
         vid: max(
-            range(KMEANS_K), key=lambda k: (round(cos(X[i], C[k]), 6), -k)
+            range(KMEANS_K), key=lambda k: (_q6(cos(X[i], C[k])), -k)
         )
         for i, vid in enumerate(ids)
     }
@@ -120,7 +131,7 @@ def test_semdedup_kmeans_matches_numpy_replay(spark):
     for cid, members in clusters.items():
         for i, b in enumerate(members):
             if not any(
-                round(cos(emb[a], emb[b]), 6) >= SEMDEDUP_TAU
+                _q6(cos(emb[a], emb[b])) >= _TAU_Q
                 for a in members[:i]
             ):
                 want[b] = cid

@@ -98,9 +98,24 @@ def test_assignment_broadcasts_released_after_index_build(spark):
 
     sim.release_assignment_broadcasts()  # earlier tests' probe plans
     cached = extras29._IVF_INDEX.pop(SF_SMOKE, None)
+    # ADVICE r10: a build's release must be scoped to its OWN mints. Mint
+    # an unrelated lazy assignment plan first; it must survive the build
+    # and still execute afterwards (its broadcast not destroyed).
+    e0 = load_table(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    c0 = e0.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").cast("int").alias("cid"), "embedding"
+    )
+    pending = sim.nearest_centroids_arrow(
+        e0.where(F.col("vec_id") < 8), c0, "vec_id", "embedding", "cid", 1
+    )
+    assert len(sim._ASSIGN_BROADCASTS) == 1  # ours, still lazy
     try:
         fresh_dir, _ = extras29.ivf_index_dir(spark, SF_SMOKE)
-        assert sim._ASSIGN_BROADCASTS == []  # build released its own
+        # build released its own mint only; the pending plan's survives
+        assert len(sim._ASSIGN_BROADCASTS) == 1
+        assert pending.count() == 8  # executes fine post-build-release
+        assert sim.release_assignment_broadcasts() == 1
+        assert sim._ASSIGN_BROADCASTS == []
     finally:
         rebuilt = extras29._IVF_INDEX.pop(SF_SMOKE, None)
         if rebuilt:
