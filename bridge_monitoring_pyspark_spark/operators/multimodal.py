@@ -541,6 +541,122 @@ def decode_image_stats(
     return df.select("doc_id", "payload").mapInPandas(batches, DECODE_STATS_SCHEMA)
 
 
+# The five mimes decode_media decodes for real, and the structural
+# corruption kinds whose outcome is format-independent: every decoder
+# deterministically raises ValueError on a truncated stream, a destroyed
+# magic/signature, and an empty payload, and succeeds on the intact fixture
+# (probed across all 5 x 4 combinations in tests/test_extras34.py). Kinds
+# with format-DEPENDENT outcomes (an interior bit flip is caught by PNG's
+# CRC but silently decodes in checksum-free PPM/WAV) are exercised by the
+# fuzz tests, not the oracle-checked catalog entry.
+QUARANTINE_MIMES = (
+    "image/png",
+    "image/jpeg",
+    "audio/wav",
+    "image/x-portable-pixmap",
+    "video/x-yuv4mpeg",
+)
+QUARANTINE_KINDS = ("none", "truncate", "magic", "empty")
+
+
+def corrupt_payload(buf: bytes, kind: str) -> bytes:
+    """Apply a deterministic structural corruption: ``truncate`` cuts the
+    stream in half, ``magic`` zeroes the first 8 signature bytes,
+    ``empty`` drops the payload entirely, ``none`` passes through."""
+    if kind == "none":
+        return buf
+    if kind == "truncate":
+        return buf[: len(buf) // 2]
+    if kind == "magic":
+        return b"\x00" * 8 + buf[8:]
+    if kind == "empty":
+        return b""
+    raise ValueError(f"unknown corruption kind {kind!r}")
+
+
+def with_corrupted_mixed_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Fixture stage for the decode-quarantine witness: each document gets
+    one of the five real-decoder fixtures (mime = ``doc_id % 5``) with one
+    of the four structural corruptions applied (kind = ``doc_id // 5 % 4``
+    — decorrelated from the mime so every (mime, kind) cell is populated).
+    Same Arrow plumbing as the clean fixture attachers."""
+    from .jpeg import synth_jpeg
+
+    synth = {
+        "image/png": synth_png,
+        "image/jpeg": synth_jpeg,
+        "audio/wav": synth_wav,
+        "image/x-portable-pixmap": synth_ppm,
+        "video/x-yuv4mpeg": synth_y4m,
+    }
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mimes, kinds, payloads = [], [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                mime = QUARANTINE_MIMES[d % 5]
+                kind = QUARANTINE_KINDS[(d // 5) % 4]
+                mimes.append(mime)
+                kinds.append(kind)
+                payloads.append(corrupt_payload(synth[mime](d), kind))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "mime": mimes,
+                    "corruption": kinds,
+                    "payload": payloads,
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        batches, "doc_id long, mime string, corruption string, payload binary"
+    )
+
+
+def decode_with_quarantine(df: DataFrame) -> DataFrame:
+    """Per-row fault-isolated decode over (doc_id, mime, corruption,
+    payload): a payload that fails to decode becomes a quarantine row
+    (``ok = false`` with the exception class in ``err_kind``) instead of a
+    task failure — the DQ valid/reject split (operators/dq.py) applied to
+    the media plane.
+
+    100 TB posture: a crawl-scale corpus is CERTAIN to contain malformed
+    files; a decoder that lets the exception escape kills the task, the
+    retried task dies on the same row, and after four attempts the whole
+    job fails. Capturing at the row level keeps the Arrow batch alive and
+    turns corrupt bytes into data the pipeline can count, sample, and
+    route — exactly like invalid rows. Output rows carry a few short
+    strings regardless of payload size; the payload never leaves this
+    stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            oks, errs = [], []
+            for mime, payload in zip(pdf["mime"], pdf["payload"]):
+                try:
+                    decode_media(bytes(payload), mime)
+                    oks.append(True)
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — row-level quarantine
+                    oks.append(False)
+                    errs.append(type(e).__name__)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "corruption": pdf["corruption"],
+                    "ok": oks,
+                    "err_kind": errs,
+                }
+            )
+
+    return df.select("doc_id", "mime", "corruption", "payload").mapInPandas(
+        batches,
+        "doc_id long, mime string, corruption string, ok boolean, err_kind string",
+    )
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over (doc_id, payload, meta).
 

@@ -57,8 +57,20 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # join semantic stays witnessed in-window by this entry (same keys,
     # same tolerance rule) and the JVM-side union-window form stays
     # oracle-checked from position 51+.
-    "cogrouped_asof_merge",
-    "session_window_stats",  # T2 session
+    # round-11 rotation (VERDICT r10 item 2): driver-verify the Python
+    # data source streaming ingest (plans/extras3.py), never inside the
+    # window before. Its slot was cogrouped_asof_merge, driver-green in
+    # r10 — the as-of semantic stays oracle-checked from position 51+
+    # (and asof_last_order_before_event was driver-green r3-r9), while
+    # applyInPandas/mapInPandas stay witnessed in-window by the semdedup
+    # and decoder entries.
+    "streaming_pyds_ingest",
+    # round-11 rotation (VERDICT r10 item 2): driver-verify the streaming
+    # session window (plans/streaming_q2.py), never inside the window
+    # before. Its slot was session_window_stats, driver-green since r7 —
+    # T2-session stays witnessed in-window by this streaming form, and
+    # the batch form stays oracle-checked from position 51+.
+    "streaming_session_window",  # T2 session (streaming form)
     # streaming forms (S1-S3, S6-S7, T1-T7)
     "streaming_json_ingest",
     "streaming_silver_enriched",
@@ -74,8 +86,19 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # relational / plan-quality headliners (O1-O3, §2.5 windows)
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q6_forecast_revenue",  # pushdown probe
-    "window_running_order_totals",
+    # round-11 rotation (VERDICT r10 item 2): driver-verify the
+    # statistical-moments profile (plans/extras5.py: stddev/skewness/
+    # kurtosis one-pass aggregates) and the per-column profiling summary
+    # (plans/extras14.py), never inside the window before. Their slots
+    # were q6_forecast_revenue (driver-green since r2; the filter-pushdown
+    # property it probed stays plan-gate-tested in
+    # tests/test_plan_quality.py and TPC-H stays witnessed in-window by
+    # q1/q3) and window_running_order_totals (driver-green since r4; the
+    # §2.5 analytic-window id stays witnessed in-window by
+    # topk_parts_per_brand). Both displaced entries stay oracle-checked
+    # from position 51+.
+    "stats_moments",
+    "column_profile_summary",
     "topk_parts_per_brand",
     "bucketed_join_revenue",
     # LLM-data pipeline suite
@@ -96,11 +119,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # minhash-LSH pairs, embedding-LSH and semdedup, and the
     # connected-components chain stays oracle-checked from position 51+.
     "bloom_shingle_decontaminate",
-    # round-8 addition, driver-verified from day one: SemDeDup
-    # cluster-blocked semantic dedup (plans/extras24.py). Its slot was the
-    # IVF ANN tier — ANN stays witnessed in-window by the brute-force and
-    # PQ tiers, and ann_ivf_topk remains oracle-checked from position 51+.
-    "semdedup_prune",
+    # round-11 rotation (VERDICT r10 item 2): driver-verify the fixed-K
+    # production SemDeDup (trained Lloyd centroids feeding the Arrow/BLAS
+    # assigner + blockwise sweep, plans/extras24.py) — round 10's new code
+    # and the most expensive never-driver-verified entry. Its slot was
+    # semdedup_prune, driver-green r8-r10 — semantic dedup stays witnessed
+    # in-window by this entry (same assigner, same sweep contract), and
+    # the sqrt(N)-centroid sibling stays oracle-checked from position 51+.
+    "semdedup_prune_kmeans",
     "sequence_packing_stats",
     # round-5 data-selection + sketch headliners (rotated into the capped
     # window per round-5 review; the five slots they took were redundant
@@ -161,7 +187,15 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # in-window by the left-outer + interval pair, and the full-outer and
     # semi shapes stay oracle-checked from position 51+.
     "streaming_interval_join",
-    "pagerank_transitions",
+    # round-11 addition, driver-verified from day one (VERDICT r10 item
+    # 4): adversarial-input decode quarantine (plans/extras34.py) — every
+    # (format x structural-corruption) cell routed to ok/quarantine rows
+    # with the exception class captured per row, the DQ reject-split
+    # applied to the media plane. Its slot was pagerank_transitions,
+    # driver-green r8-r10 — the iterative-loop capability stays witnessed
+    # in-window by bpe_train_merges, and PageRank stays oracle-checked
+    # from position 51+.
+    "multimodal_decode_quarantine",
     # round-8 addition, driver-verified from day one: the real WAV/PCM
     # audio decode (plans/extras25.py) — the audio modality's analogue of
     # multimodal_decode_png. Its slot was neardup_jaccard_pairs, redundant
@@ -244,6 +278,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "viterbi_segment_stats",
     "phash_image_dedup",
     "streaming_full_outer_join",
+    # displaced by the round-11 rotation; still oracle-checked every round
+    "semdedup_prune",
+    "cogrouped_asof_merge",
+    "session_window_stats",
+    "q6_forecast_revenue",
+    "window_running_order_totals",
+    "pagerank_transitions",
 )
 
 
@@ -292,6 +333,7 @@ def all_queries() -> dict[str, Query]:
         extras31,
         extras32,
         extras33,
+        extras34,
     )
 
     out: dict[str, Query] = {}
@@ -327,6 +369,7 @@ def all_queries() -> dict[str, Query]:
         extras31,
         extras32,
         extras33,
+        extras34,
     ):
         for q in mod.QUERIES:
             if q.name in out:

@@ -1,0 +1,79 @@
+"""Round-11 wave: adversarial-input hardening for the media decoders
+(VERDICT r10 item 4).
+
+The five real decoders (PNG / JPEG / WAV / PPM / Y4M) all validate their
+inputs and raise on malformed bytes — but until this wave nothing proved
+that a corrupt payload inside a distributed decode job becomes a
+QUARANTINE ROW rather than a task death. At 100 TB a crawl corpus is
+certain to contain truncated downloads, bit-rotted blocks and mislabeled
+files; Spark retries a failed task four times and then fails the job, so
+"the decoder raises" is exactly the wrong failure mode. This wave applies
+the DQ valid/reject split (operators/dq.py — the reference's quarantine
+pattern, pipelines/bronze_ingest.py:62-87) to the media plane:
+
+- ``multimodal_decode_quarantine`` — every document gets one of the five
+  real-decoder fixtures with one of four structural corruptions applied
+  (intact / truncated to half / zeroed signature / empty), then the
+  fault-isolated decode stage routes each row to ok=true or a quarantine
+  row carrying the exception class. Both assignments are closed-form in
+  doc_id, and the corruption outcomes are format-independent (probed for
+  all 5 x 4 cells in tests/test_extras34.py), so the DuckDB oracle
+  replays the full expected routing exactly — a decoder that starts
+  accepting garbage, rejecting good payloads, or leaking a different
+  exception class flips the value hash.
+
+Randomized bit-flip / length-lying fuzzing (whose outcome is format-
+DEPENDENT: PNG's CRC catches interior flips, checksum-free PPM/WAV decode
+them silently) lives in the seeded pytest fuzz module, not the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.readers import load_table
+from .catalog import Query
+
+
+def _multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-input decode routing: fixture+corruption stage, then the
+    per-row fault-isolated decode. Two chained Arrow stages, no shuffle
+    until the final sort; payload bytes never leave the decode stage."""
+    from ..operators.multimodal import (
+        decode_with_quarantine,
+        with_corrupted_mixed_payload,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return decode_with_quarantine(with_corrupted_mixed_payload(d)).orderBy("doc_id")
+
+
+_QUARANTINE_SQL = """
+SELECT doc_id,
+       CASE doc_id % 5
+            WHEN 0 THEN 'image/png'
+            WHEN 1 THEN 'image/jpeg'
+            WHEN 2 THEN 'audio/wav'
+            WHEN 3 THEN 'image/x-portable-pixmap'
+            ELSE 'video/x-yuv4mpeg' END AS mime,
+       CASE (doc_id // 5) % 4
+            WHEN 0 THEN 'none'
+            WHEN 1 THEN 'truncate'
+            WHEN 2 THEN 'magic'
+            ELSE 'empty' END AS corruption,
+       (doc_id // 5) % 4 = 0 AS ok,
+       CASE WHEN (doc_id // 5) % 4 = 0 THEN NULL
+            ELSE 'ValueError' END AS err_kind
+FROM documents
+ORDER BY doc_id
+"""
+
+
+QUERIES = [
+    Query(
+        "multimodal_decode_quarantine",
+        _multimodal_decode_quarantine,
+        _QUARANTINE_SQL,
+        ("llm", "multimodal", "decode", "dq", "quarantine"),
+    ),
+]
