@@ -54,6 +54,13 @@ from .extras9 import KMEANS_ITERS, lloyd_centroids, lloyd_cte_parts
 
 SEMDEDUP_TAU = 0.4  # same near-dup threshold as the LSH/exact embedding twins
 
+# Sub-cluster size cap for the capped production variant. Pinned small so the
+# split rule is actually exercised at the oracle scale factors (fixed-K
+# clusters hold ~60 members at sf0.01, ~250 at sf0.1); a production run would
+# set this ~1e5 and tune recall vs the per-task O(cap^2) sweep budget. Must
+# stay in sync with the literal in _semdedup_kmeans_capped_sql.
+SEMDEDUP_CAP = 32
+
 
 def _semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivors of SemDeDup pruning: (vec_id, cluster_id) for every vector
@@ -84,7 +91,7 @@ def _semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SWEEP_BLOCK = 2048  # row-block size of the per-cluster cosine matmul
 
 
-def _prune_survivors(m: DataFrame) -> DataFrame:
+def _prune_survivors(m: DataFrame, extra_group_cols: tuple[str, ...] = ()) -> DataFrame:
     """Keep-first sweep over an assigned corpus ``m = (vec_id, embedding,
     cid)``: a vector is dropped iff a lower-id vector in the same cluster
     has round(cosine, 6) >= TAU with it. Shared by the stride-centroid
@@ -124,7 +131,7 @@ def _prune_survivors(m: DataFrame) -> DataFrame:
         )
 
     return (
-        m.groupBy("cid")
+        m.groupBy("cid", *extra_group_cols)
         .applyInPandas(sweep, f"vec_id {id_t}, cluster_id {cid_t}")
         .orderBy("vec_id")
     )
@@ -186,6 +193,57 @@ def _semdedup_prune_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prune_survivors(m)  # (vec_id, cluster_id)
 
 
+def _semdedup_prune_kmeans_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size-capped SemDeDup — the shape that survives decade 3.
+
+    The fixed-K form above is honest about its ceiling: with K pinned and N
+    growing, per-cluster membership is ~N/K, so the keep-first sweep's pair
+    work is N^2/K and its per-task block temporaries grow with the cluster
+    (SWEEP_BLOCK x c_i int64). SCALING.md has promised the mitigation since
+    round 10: split oversized clusters on a secondary hash before sweeping.
+    This entry is that mitigation as running code — after the Arrow/BLAS
+    assignment, each cluster is split into ``ceil(c_i / SEMDEDUP_CAP)``
+    sub-clusters keyed by ``vec_id % nsub`` (a deterministic, SQL-replayable
+    "secondary hash"; sizes are capped in expectation, the standard
+    hash-split posture), and the sweep runs per (cid, sub). Pair work drops
+    to ~N * cap / 2 (linear in N), and per-task memory is bounded by the cap
+    regardless of corpus size. The price is recall: near-dup pairs landing
+    in different sub-clusters are not compared — the documented
+    approximation trade every production SemDeDup at this scale makes.
+
+    The per-cluster sizes aggregate collapses map-side to K rows and joins
+    back as a broadcast, so the corpus still shuffles exactly once (on the
+    (cid, sub) grouping); the assignment scan runs twice against the
+    localCheckpointed points, which is cheaper than a second full-corpus
+    shuffle. Oracle: the same unrolled Lloyd CTE chain + arg_max assignment,
+    then the identical integer-arithmetic split rule and the standard sweep
+    restricted to (cid, sub) — hash-checked end to end."""
+    with pinned_shuffle_partitions(spark):
+        pts = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .localCheckpoint()
+        )
+        model = lloyd_centroids(pts)
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in model], "cid int, embedding array<double>"
+    )
+    m = nearest_centroids_arrow(pts, cdf, "vec_id", "embedding", "cid", 1)
+    sizes = m.groupBy("cid").agg(F.count(F.lit(1)).alias("c_sz"))
+    m_sub = (
+        m.join(F.broadcast(sizes), "cid")
+        .withColumn(
+            "sub",
+            F.expr(
+                f"cast(vec_id % ((c_sz + {SEMDEDUP_CAP - 1}) div {SEMDEDUP_CAP})"
+                " as int)"
+            ),
+        )
+        .drop("c_sz")
+    )
+    return _prune_survivors(m_sub, extra_group_cols=("sub",))
+
+
 def _semdedup_kmeans_sql() -> str:
     ctes = ",\n".join(lloyd_cte_parts(final_assign=False))
     return f"""
@@ -214,6 +272,39 @@ ORDER BY vec_id
 """
 
 
+def _semdedup_kmeans_capped_sql() -> str:
+    ctes = ",\n".join(lloyd_cte_parts(final_assign=False))
+    return f"""
+WITH {ctes},
+assigned AS MATERIALIZED (
+  SELECT p.vec_id,
+         arg_max(c.cluster,
+                 CAST(round(round(list_cosine_similarity(
+                        CAST(p.embedding AS DOUBLE[]), c.cent), 6)
+                      * 1000000, 0) AS BIGINT) * 10000000 - c.cluster) AS cid
+  FROM pts p CROSS JOIN c{KMEANS_ITERS} c GROUP BY p.vec_id
+),
+sizes AS (SELECT cid, count(*) AS c_sz FROM assigned GROUP BY cid),
+m AS (
+  SELECT a.vec_id, a.cid,
+         CAST(a.vec_id % ((s.c_sz + {SEMDEDUP_CAP - 1}) // {SEMDEDUP_CAP})
+              AS INT) AS sub,
+         CAST(e.embedding AS DOUBLE[]) AS v
+  FROM assigned a JOIN sizes s USING (cid) JOIN pts e USING (vec_id)
+),
+dropped AS (
+  SELECT DISTINCT y.vec_id AS vec_b
+  FROM m x JOIN m y
+    ON x.cid = y.cid AND x.sub = y.sub AND x.vec_id < y.vec_id
+  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {SEMDEDUP_TAU}
+)
+SELECT m.vec_id, m.cid AS cluster_id
+FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_b
+WHERE d.vec_b IS NULL
+ORDER BY vec_id
+"""
+
+
 QUERIES = [
     Query(
         "semdedup_prune",
@@ -226,5 +317,11 @@ QUERIES = [
         _semdedup_prune_kmeans,
         _semdedup_kmeans_sql(),
         ("llm", "dedup", "embedding", "semdedup", "iterative"),
+    ),
+    Query(
+        "semdedup_prune_kmeans_capped",
+        _semdedup_prune_kmeans_capped,
+        _semdedup_kmeans_capped_sql(),
+        ("llm", "dedup", "embedding", "semdedup", "iterative", "scale"),
     ),
 ]

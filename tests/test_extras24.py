@@ -144,6 +144,71 @@ def test_semdedup_kmeans_matches_numpy_replay(spark):
     assert got == want
 
 
+def test_semdedup_kmeans_capped_matches_numpy_replay(spark):
+    """Capped variant: same Lloyd + assignment replay, then the
+    vec_id % ceil(c/CAP) split and the sweep restricted to (cid, sub)."""
+    from bridge_monitoring_pyspark_spark.plans.extras9 import (
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+    from bridge_monitoring_pyspark_spark.plans.extras24 import SEMDEDUP_CAP
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = [r.vec_id for r in rows]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    C = X[:KMEANS_K].copy()
+    for _ in range(KMEANS_ITERS):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for k in range(KMEANS_K):
+            if (a == k).any():
+                C[k] = X[a == k].mean(axis=0)
+
+    def cos(a_, b_):
+        return float(a_ @ b_ / (np.linalg.norm(a_) * np.linalg.norm(b_)))
+
+    assigned = {
+        vid: max(range(KMEANS_K), key=lambda k: (_q6(cos(X[i], C[k])), -k))
+        for i, vid in enumerate(ids)
+    }
+    emb = {vid: X[i] for i, vid in enumerate(ids)}
+    csize: dict[int, int] = {}
+    for cid in assigned.values():
+        csize[cid] = csize.get(cid, 0) + 1
+    subclusters: dict[tuple[int, int], list[int]] = {}
+    split = 0
+    for vid in sorted(assigned):
+        cid = assigned[vid]
+        nsub = (csize[cid] + SEMDEDUP_CAP - 1) // SEMDEDUP_CAP
+        if nsub > 1:
+            split += 1
+        subclusters.setdefault((cid, vid % nsub), []).append(vid)
+    assert split > 0, "CAP must bite at the smoke SF or the rule is untested"
+    want = {}
+    for (cid, _sub), members in subclusters.items():
+        for i, b in enumerate(members):
+            if not any(
+                _q6(cos(emb[a], emb[b])) >= _TAU_Q for a in members[:i]
+            ):
+                want[b] = cid
+    got = {
+        r.vec_id: r.cluster_id
+        for r in all_queries()["semdedup_prune_kmeans_capped"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == want
+    # the cap only relaxes the sweep: every uncapped survivor still survives
+    uncapped = {
+        r.vec_id
+        for r in all_queries()["semdedup_prune_kmeans"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    }
+    assert uncapped <= set(got)
+
+
 def test_semdedup_kmeans_plan_uses_arrow_assigner(spark):
     plan = (
         all_queries()["semdedup_prune_kmeans"]
