@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import subprocess
 import sys
 import time
 
@@ -273,6 +274,31 @@ def main() -> None:
         summary["error_names"] = sorted(errors)[:5]
     if fatal:
         summary["fatal"] = fatal[:200]
+    # Untracked-artifact guard (VERDICT r11 item 1, recurring since r4): when
+    # a previous round's driver artifacts sit untracked in the worktree, say
+    # so loudly on stderr so the next committer can't miss them. Diagnostics
+    # only — git absence or a non-repo cwd must never fail the bench.
+    try:
+        repo = os.path.dirname(os.path.abspath(__file__))
+        porcelain = subprocess.run(
+            ["git", "-C", repo, "status", "--porcelain"],
+            capture_output=True, text=True, timeout=30,
+        ).stdout
+        loose = sorted(
+            ln[3:] for ln in porcelain.splitlines()
+            if re.match(r"^(\?\?| M)\s*(BENCH|CORRECTNESS)(_r\d+)?\.json$",
+                        ln)
+        )
+        if loose:
+            print(
+                "bench.py: WARNING — driver artifacts not committed: "
+                + ", ".join(loose)
+                + "  (git add + commit them before changing code)",
+                file=sys.stderr,
+            )
+    except Exception:
+        pass
+
     line = json.dumps(summary)
     if spark is not None:
         try:
