@@ -126,15 +126,38 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # semdedup_prune, driver-green r8-r10 — semantic dedup stays witnessed
     # in-window by this entry (same assigner, same sweep contract), and
     # the sqrt(N)-centroid sibling stays oracle-checked from position 51+.
-    "semdedup_prune_kmeans",
+    # round-12 rotation (VERDICT r11 item 2): driver-verify the
+    # cluster-size-CAPPED SemDeDup (plans/extras24.py) — round 11's
+    # headline new code and the most expensive never-driver-verified
+    # entry. Its slot was the uncapped fixed-K form, driver-green in r11
+    # and now tagged superseded-at-scale (it OOMs at decade 3 where this
+    # form survives); it stays oracle-checked from position 51+.
+    "semdedup_prune_kmeans_capped",
     "sequence_packing_stats",
     # round-5 data-selection + sketch headliners (rotated into the capped
     # window per round-5 review; the five slots they took were redundant
     # second witnesses of already-covered §2 ids)
     "dsir_importance_weights",
-    "substring_dedup_clean",
-    "weighted_sample_per_lang",
-    "neardup_embedding_lsh_pairs",
+    # round-12 rotation (VERDICT r11 item 2): driver-verify the
+    # substring-duplicate RUN detector (plans/extras19.py), never inside
+    # the window before. Its slot was substring_dedup_clean, driver-green
+    # since r5 — a like-for-like swap within the substring-dedup family;
+    # the clean-corpus form stays oracle-checked from position 51+.
+    "substring_dup_runs",
+    # round-12 rotation (VERDICT r11 item 2): driver-verify the
+    # watermarked streaming dropDuplicates (plans/streaming_q2.py), never
+    # inside the window before. Its slot was weighted_sample_per_lang,
+    # driver-green since r5 — data selection stays witnessed in-window by
+    # dsir_importance_weights, and the weighted sampler stays
+    # oracle-checked from position 51+.
+    "streaming_dropdup_watermark",
+    # round-12 rotation (VERDICT r11 item 2): driver-verify the Gopher
+    # repetition signals (plans/llmdata2.py), never inside the window
+    # before. Its slot was neardup_embedding_lsh_pairs, driver-green since
+    # r5 — embedding near-dup stays witnessed in-window by the capped
+    # SemDeDup and minhash-LSH entries, and the embedding-LSH pair
+    # generator stays oracle-checked from position 51+.
+    "repetition_signals_gopher",
     "cms_heavy_hitters",
     # round-7 rotation (VERDICT r6 item 8): driver-verify the new PNG
     # decode entry, the timer-eviction stateful witness, and the exact
@@ -196,13 +219,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # in-window by bpe_train_merges, and PageRank stays oracle-checked
     # from position 51+.
     "multimodal_decode_quarantine",
-    # round-8 addition, driver-verified from day one: the real WAV/PCM
-    # audio decode (plans/extras25.py) — the audio modality's analogue of
-    # multimodal_decode_png. Its slot was neardup_jaccard_pairs, redundant
-    # in-window (near-dup still witnessed by minhash-LSH, simhash,
-    # components, embedding-LSH and semdedup); jaccard stays oracle-checked
-    # from position 51+, as does the windowed audio_frame_energy twin.
-    "multimodal_decode_wav",
+    # round-12 rotation (VERDICT r11 item 2): driver-verify the
+    # per-language BPE fertility metric (plans/extras26.py), never inside
+    # the window before and the 2nd most expensive never-verified entry.
+    # Its slot was multimodal_decode_wav, driver-green since r8 — the WAV
+    # decoder stays witnessed in-window by multimodal_decode_quarantine
+    # (which routes real WAV payloads through the same decode path), and
+    # the standalone WAV entry stays oracle-checked from position 51+.
+    "bpe_fertility_by_lang",
     # round-8 addition, driver-verified from day one: real Y4M video
     # decode with frame sampling (plans/extras25.py) — the video
     # modality's real-decode witness. Its slot was ann_cosine_topk,
@@ -233,6 +257,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # oracle-checked from position 51+.
     "hybrid_rrf_retrieval",
     # position 51+: operator ids above already covered elsewhere
+    "semdedup_prune_kmeans",
+    "substring_dedup_clean",
+    "weighted_sample_per_lang",
+    "neardup_embedding_lsh_pairs",
+    "multimodal_decode_wav",
     "knn_join_blocked",
     "sliding_window_counts",
     "kmeans_embeddings",
