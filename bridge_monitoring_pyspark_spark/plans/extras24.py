@@ -57,8 +57,9 @@ SEMDEDUP_TAU = 0.4  # same near-dup threshold as the LSH/exact embedding twins
 # Sub-cluster size cap for the capped production variant. Pinned small so the
 # split rule is actually exercised at the oracle scale factors (fixed-K
 # clusters hold ~60 members at sf0.01, ~250 at sf0.1); a production run would
-# set this ~1e5 and tune recall vs the per-task O(cap^2) sweep budget. Must
-# stay in sync with the literal in _semdedup_kmeans_capped_sql.
+# set this ~1e5 and tune recall vs the per-task O(cap^2) sweep budget.
+# _semdedup_kmeans_capped_sql interpolates this constant directly, so the
+# Spark and oracle sides cannot drift.
 SEMDEDUP_CAP = 32
 
 
@@ -313,10 +314,17 @@ QUERIES = [
         ("llm", "dedup", "embedding", "semdedup"),
     ),
     Query(
+        # Superseded at scale by semdedup_prune_kmeans_capped: the uncapped
+        # within-cluster sweep is O(max_cluster²) per task and was witnessed
+        # OOM-ing at decade 3 (SCALE_RUNS_DECADE3.json, round 11). Kept as
+        # the exact-recall ceiling witness and the capped form's ground
+        # truth at oracle scales; do NOT ship this form against a corpus
+        # whose largest cluster can exceed task memory.
         "semdedup_prune_kmeans",
         _semdedup_prune_kmeans,
         _semdedup_kmeans_sql(),
-        ("llm", "dedup", "embedding", "semdedup", "iterative"),
+        ("llm", "dedup", "embedding", "semdedup", "iterative",
+         "superseded-at-scale"),
     ),
     Query(
         "semdedup_prune_kmeans_capped",
