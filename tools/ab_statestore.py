@@ -37,6 +37,10 @@ from bridge_monitoring_pyspark_spark.session import get_spark  # noqa: E402
 ROCKSDB = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
+HDFS = (
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+)
+PROVIDERS = {"rocksdb": ROCKSDB, "hdfs": HDFS}
 
 
 def main() -> None:
@@ -51,10 +55,23 @@ def main() -> None:
     ap.add_argument("--repeat", type=int, default=1)
     a = ap.parse_args()
 
-    spark = get_spark(master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+    # Set the provider at SESSION CREATION, for BOTH arms. The engine default
+    # (session.default_configs) pins RocksDB for every session, so an hdfs
+    # arm that merely skips a conf.set still runs RocksDB — the exact bug the
+    # round-11 A-B shipped with (ADVICE r11): both arms measured the same
+    # provider and the "delta" was host variation. extra_confs wins over the
+    # default because get_spark applies it last.
+    spark = get_spark(
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass": PROVIDERS[a.provider]
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
-    if a.provider == "rocksdb":
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB)
+    got = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    if got != PROVIDERS[a.provider]:
+        print(json.dumps({"fatal": f"provider conf not applied: {got}"}))
+        sys.exit(1)
 
     from pyspark.sql import functions as F
 
@@ -62,6 +79,16 @@ def main() -> None:
         t0 = time.time()
         spark.range(2_000_000_000).select(F.bit_xor(F.xxhash64("id"))).collect()
         return time.time() - t0
+
+    # Calibration BEFORE the timed runs (matches bench_scale.py), and
+    # exception-guarded: a calibration hiccup is diagnostics lost, never an
+    # expensive completed A-B run thrown away — and measuring it up front
+    # keeps the matched-host comparison rule (~1.1x) honest instead of
+    # sampling host speed after the runs already happened.
+    try:
+        calib = round(min(calib_once() for _ in range(3)), 3)
+    except Exception:  # noqa: BLE001 — diagnostics only
+        calib = None
 
     q = all_queries()[a.query]
 
@@ -78,7 +105,7 @@ def main() -> None:
         "sf_dir": a.sf_dir,
         "runs": runs,
         "min_sec": min(runs),
-        "calibration_sec": round(min(calib_once() for _ in range(3)), 3),
+        "calibration_sec": calib,
     }
     print(json.dumps(out))
     spark.stop()

@@ -374,14 +374,23 @@ def main() -> None:
     )
     a = ap.parse_args()
 
-    spark = get_spark(master=f"local[{a.cpus}]")
+    # Provider must be set at SESSION CREATION for both arms: the engine
+    # default (session.default_configs) pins RocksDB, so an hdfs arm that
+    # merely skips a conf.set still runs RocksDB (ADVICE r11 — the round-11
+    # A-B measured RocksDB vs RocksDB). extra_confs wins over the default.
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        + ("RocksDBStateStoreProvider" if a.state_store == "rocksdb"
+           else "HDFSBackedStateStoreProvider")
+    )
+    spark = get_spark(
+        master=f"local[{a.cpus}]",
+        extra_confs={"spark.sql.streaming.stateStore.providerClass": provider},
+    )
     spark.sparkContext.setLogLevel("ERROR")
-    if a.state_store == "rocksdb":
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
+    assert spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass"
+    ) == provider, "state-store provider conf not applied (stale session?)"
     df = build_pipeline(spark, a.rows_per_batch, int(a.cpus), a.mode, a.keys)
     mode_out = "update" if a.mode == "stateful" else "append"
     q = (
