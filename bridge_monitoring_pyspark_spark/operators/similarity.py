@@ -158,12 +158,29 @@ def cosine_topk_arrow(
     )
 
 
+# Target rows per block for auto-sized block decompositions. The per-task
+# ceiling of the blocked kernels is the block-pair similarity matrix —
+# (rows/block)^2 float64 = 8192^2 x 8 B = 512 MB — plus two ~4 MB vector
+# blocks; n_blocks = ceil(N / this) keeps that ceiling CONSTANT as the
+# corpus grows (fixed n_blocks makes it grow O(N^2/n_blocks^2): the same
+# failure class the round-11 decade program OOM-witnessed on the uncapped
+# semdedup sweep). 8192 reproduces the long-benchmarked n_blocks=8 plan at
+# sf0.1 (60k vectors) exactly.
+BLOCK_TARGET_ROWS = 8192
+
+
+def auto_n_blocks(df: DataFrame, target_rows: int = BLOCK_TARGET_ROWS) -> int:
+    """ceil(|df| / target_rows), floor 1 — one count() job (parquet footer
+    counts; cheap next to the O(N^2/n_blocks) work it sizes)."""
+    return max(1, -(-df.count() // target_rows))
+
+
 def cosine_pairs_blocked(
     vectors: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float,
-    n_blocks: int = 8,
+    n_blocks: int | None = 8,
 ) -> DataFrame:
     """All (a < b) pairs with cosine >= threshold — exact, fully
     distributed, **no driver-side collect** (block self-join).
@@ -178,11 +195,16 @@ def cosine_pairs_blocked(
     group, so the result equals the brute-force search bit-for-bit.
 
     Scale (100 TB): shuffle volume = N x n_blocks rows; per-task memory =
-    two blocks (~2N/n_blocks vectors — pick n_blocks so that fits an
-    executor, e.g. 4M x 64-dim float64 ~ 2 GB/block at n_blocks = ceil(N/4M));
-    compute spreads over n_blocks(n_blocks+1)/2 independent tasks. This
+    two blocks of N/n_blocks vectors plus the dominating block-pair sims
+    matrix ((N/n_blocks)^2 float64). Pass ``n_blocks=None`` to auto-size
+    n_blocks = ceil(N / BLOCK_TARGET_ROWS), which pins that per-task
+    ceiling at ~512 MB REGARDLESS of corpus size — a fixed n_blocks only
+    holds for the corpus it was tuned on (round-12 memory-bounds audit).
+    Compute spreads over n_blocks(n_blocks+1)/2 independent tasks. This
     replaces the earlier broadcast form whose driver collect was O(N).
     """
+    if n_blocks is None:
+        n_blocks = auto_n_blocks(vectors)
     v = vectors.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__vec"),
@@ -295,8 +317,8 @@ def knn_join_blocked(
     query_vec: str,
     corpus_vec: str,
     k: int,
-    n_query_blocks: int = 4,
-    n_corpus_blocks: int = 8,
+    n_query_blocks: int | None = 4,
+    n_corpus_blocks: int | None = 8,
 ) -> DataFrame:
     """Exact k-NN **join** — top-k cosine neighbors for *every* query row —
     with BOTH sides distributed (no driver collect, no broadcast of either
@@ -314,11 +336,18 @@ def knn_join_blocked(
     matches (same id) are excluded, matching the brute-force convention.
 
     Scale (100 TB): shuffle volume = Nq×n_corpus_blocks + Nc×n_query_blocks
-    rows; per-task memory = one query block + one corpus block. Compute is
-    the inherent exact-kNN Nq×Nc matmul, spread over the full grid. Tune
-    block counts so blocks fit executor memory; the merge input is only
-    k×n_corpus_blocks rows per query, so the final shuffle is tiny.
+    rows; per-task memory = one query block + one corpus block + the cell
+    sims matrix ((Nq/n_query_blocks)×(Nc/n_corpus_blocks) float64, the
+    dominating term). Pass ``None`` for either block count to auto-size it
+    as ceil(side / BLOCK_TARGET_ROWS) — that pins the per-task ceiling
+    constant as either side grows, where a fixed count only holds for the
+    corpus it was tuned on (round-12 memory-bounds audit). The merge input
+    is only k×n_corpus_blocks rows per query, so the final shuffle is tiny.
     """
+    if n_query_blocks is None:
+        n_query_blocks = auto_n_blocks(queries)
+    if n_corpus_blocks is None:
+        n_corpus_blocks = auto_n_blocks(corpus)
     qs = queries.select(
         F.col(query_id).alias("__id"),
         F.col(query_vec).cast("array<double>").alias("__vec"),

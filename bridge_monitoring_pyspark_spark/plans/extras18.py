@@ -70,9 +70,14 @@ def _knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle is the brute-force SQL."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 50)
+    # Auto-sized blocks (round-12 memory-bounds audit): the 50-row query
+    # side resolves to ONE query block — the old fixed 4 replicated the
+    # whole corpus into the shuffle 4x for nothing — and the corpus side to
+    # ceil(Nc/8192), which pins the per-cell sims matrix as the corpus
+    # grows (8 blocks at sf0.1, the long-benchmarked shape).
     return knn_join_blocked(
         q, e, "vec_id", "vec_id", "embedding", "embedding", k=3,
-        n_query_blocks=4, n_corpus_blocks=8,
+        n_query_blocks=None, n_corpus_blocks=None,
     ).orderBy("query_id", "rank")
 
 

@@ -194,7 +194,9 @@ def _semdedup_prune_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prune_survivors(m)  # (vec_id, cluster_id)
 
 
-def _semdedup_prune_kmeans_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _semdedup_prune_kmeans_capped(
+    spark: SparkSession, sf_dir: str, cap: int = SEMDEDUP_CAP
+) -> DataFrame:
     """Cluster-size-capped SemDeDup — the shape that survives decade 3.
 
     The fixed-K form above is honest about its ceiling: with K pinned and N
@@ -218,7 +220,11 @@ def _semdedup_prune_kmeans_capped(spark: SparkSession, sf_dir: str) -> DataFrame
     localCheckpointed points, which is cheaper than a second full-corpus
     shuffle. Oracle: the same unrolled Lloyd CTE chain + arg_max assignment,
     then the identical integer-arithmetic split rule and the standard sweep
-    restricted to (cid, sub) — hash-checked end to end."""
+    restricted to (cid, sub) — hash-checked end to end.
+
+    ``cap`` parameterizes the split for the recall-vs-CAP sweep
+    (tools/recall_capped_semdedup.py, round 12); the catalog entry always
+    runs the pinned SEMDEDUP_CAP so the oracle SQL stays in lockstep."""
     with pinned_shuffle_partitions(spark):
         pts = (
             load_table(spark, sf_dir, "embeddings")
@@ -236,8 +242,7 @@ def _semdedup_prune_kmeans_capped(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn(
             "sub",
             F.expr(
-                f"cast(vec_id % ((c_sz + {SEMDEDUP_CAP - 1}) div {SEMDEDUP_CAP})"
-                " as int)"
+                f"cast(vec_id % ((c_sz + {cap - 1}) div {cap}) as int)"
             ),
         )
         .drop("c_sz")

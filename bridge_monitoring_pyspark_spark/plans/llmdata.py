@@ -271,7 +271,12 @@ def _neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     but nothing is ever collected to the driver — see
     operators/similarity.py:cosine_pairs_blocked scale notes."""
     e = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_blocked(e, "vec_id", "embedding", 0.4).orderBy("vec_a", "vec_b")
+    # n_blocks=None: auto-size ceil(N/8192) so the per-task sims matrix
+    # stays ~512 MB at any corpus size (identical plan at sf0.1, where
+    # auto resolves to the long-benchmarked 8 blocks).
+    return cosine_pairs_blocked(
+        e, "vec_id", "embedding", 0.4, n_blocks=None
+    ).orderBy("vec_a", "vec_b")
 
 
 _NEARDUP_EMB_SQL = """
