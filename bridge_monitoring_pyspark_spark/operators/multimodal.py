@@ -23,7 +23,14 @@ container) still raise ``NotImplementedError`` from the same slot.
 Scale notes: binary payloads dominate row width; keep
 ``spark.sql.files.maxPartitionBytes`` at its default 128 MB so tasks stay
 memory-bounded, and never groupBy/shuffle the payload column — project the
-features out first, then drop the bytes.
+features out first, then drop the bytes. Every mapInPandas generator here
+works strictly batch-at-a-time (no cross-batch accumulation — round-12
+memory-bounds audit), so the per-task working set is one Arrow batch:
+``spark.sql.execution.arrow.maxRecordsPerBatch`` (default 10k) × the max
+payload. That default is sized for scalar rows — a production media
+pipeline with multi-MB payloads must pin it down (e.g. 256) or the batch
+itself becomes gigabytes; the fixtures here are ~KB so the default holds
+locally.
 """
 
 from __future__ import annotations
@@ -652,6 +659,68 @@ def decode_with_quarantine(df: DataFrame) -> DataFrame:
             )
 
     return df.select("doc_id", "mime", "corruption", "payload").mapInPandas(
+        batches,
+        "doc_id long, mime string, corruption string, ok boolean, err_kind string",
+    )
+
+
+def synth_corrupt_decode_quarantine(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused quarantine witness: synthesize the fixture, corrupt it, and
+    fault-isolated-decode it in ONE mapInPandas stage — the payload is
+    born and dies inside the same Python worker and never crosses the
+    Arrow boundary at all.
+
+    Semantics are exactly ``decode_with_quarantine(
+    with_corrupted_mixed_payload(df))`` (same closed-form mime/corruption
+    assignment, same routing, same output schema — the catalog oracle is
+    unchanged). The split form ships each ~KB payload JVM→Python→JVM twice
+    for zero work in between; at decade 3 (5M docs) that double crossing
+    was the adjudicated ×14.59 band break (SCALE_RUNS_DECADE3.json r11).
+    The split operators stay exported: ``decode_with_quarantine`` is the
+    production stage (real payloads arrive from storage, not a
+    synthesizer) and keeps its own pytest + fuzz coverage; this fusion is
+    the fixture-pipeline shape, where synthesis and decode share a worker.
+    """
+    from .jpeg import synth_jpeg
+
+    synth = {
+        "image/png": synth_png,
+        "image/jpeg": synth_jpeg,
+        "audio/wav": synth_wav,
+        "image/x-portable-pixmap": synth_ppm,
+        "video/x-yuv4mpeg": synth_y4m,
+    }
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            mimes, kinds, oks, errs = [], [], [], []
+            for d in pdf[id_col]:
+                d = int(d)
+                mime = QUARANTINE_MIMES[d % 5]
+                kind = QUARANTINE_KINDS[(d // 5) % 4]
+                mimes.append(mime)
+                kinds.append(kind)
+                payload = corrupt_payload(synth[mime](d), kind)
+                try:
+                    decode_media(payload, mime)
+                    oks.append(True)
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — row-level quarantine
+                    oks.append(False)
+                    errs.append(type(e).__name__)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "mime": mimes,
+                    "corruption": kinds,
+                    "ok": oks,
+                    "err_kind": errs,
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
         batches,
         "doc_id long, mime string, corruption string, ok boolean, err_kind string",
     )

@@ -36,16 +36,18 @@ from .catalog import Query
 
 
 def _multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corrupt-input decode routing: fixture+corruption stage, then the
-    per-row fault-isolated decode. Two chained Arrow stages, no shuffle
-    until the final sort; payload bytes never leave the decode stage."""
-    from ..operators.multimodal import (
-        decode_with_quarantine,
-        with_corrupted_mixed_payload,
-    )
+    """Corrupt-input decode routing, FUSED (round 12, VERDICT r11 item 4):
+    synthesize + corrupt + fault-isolated decode in one mapInPandas stage,
+    so the payload never crosses the Arrow boundary — the split form
+    shipped each ~KB payload JVM→Python→JVM twice for zero work in
+    between (the adjudicated decade-3 ×14.59 band break). Identical
+    routing and schema; the standalone ``decode_with_quarantine`` stage
+    (the production shape — payloads arriving from storage) keeps its own
+    pytest + seeded fuzz coverage."""
+    from ..operators.multimodal import synth_corrupt_decode_quarantine
 
     d = load_table(spark, sf_dir, "documents")
-    return decode_with_quarantine(with_corrupted_mixed_payload(d)).orderBy("doc_id")
+    return synth_corrupt_decode_quarantine(d).orderBy("doc_id")
 
 
 _QUARANTINE_SQL = """

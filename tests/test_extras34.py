@@ -20,6 +20,8 @@ from bridge_monitoring_pyspark_spark.operators.multimodal import (
     corrupt_payload,
     decode_media,
     decode_with_quarantine,
+    synth_corrupt_decode_quarantine,
+    with_corrupted_mixed_payload,
     synth_ppm,
     synth_png,
     synth_wav,
@@ -177,3 +179,17 @@ def test_quarantine_catalog_entry_matches_rule(spark):
             assert r.ok and r.err_kind is None
         else:
             assert not r.ok and r.err_kind == "ValueError"
+
+
+def test_fused_quarantine_equals_split_form(spark):
+    # The fused synth+corrupt+decode stage (round 12 — payload never
+    # crosses Arrow) must reproduce the split two-stage pipeline
+    # row-for-row: same routing, same err_kind, same schema.
+    base = spark.range(0, 40).selectExpr("id AS doc_id")
+    fused = synth_corrupt_decode_quarantine(base).orderBy("doc_id").collect()
+    split = (
+        decode_with_quarantine(with_corrupted_mixed_payload(base))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert fused == split
