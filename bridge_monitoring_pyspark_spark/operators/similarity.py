@@ -598,10 +598,17 @@ def nearest_centroids_arrow(
     vec_col: str,
     cid_col: str = "cid",
     n_keep: int = 1,
+    emit_sim: bool = False,
 ) -> DataFrame:
     """Top-``n_keep`` nearest centroids per row via one BLAS matmul per
     Arrow batch — the standalone N x K assignment pass used by the IVF
     index builds (plans/extras29.py build + probe, extras33.py append).
+
+    ``emit_sim=True`` appends a ``__simq`` bigint column — the winning
+    centroid's cosine quantized exactly like the assignment key
+    (round(cos, 6) half-away-from-zero × 1e6) — for callers that order
+    members within a cluster by proximity to its centroid (the
+    locality-preserving capped-SemDeDup split, plans/extras24.py).
 
     Same ordering contract as the SQL crossJoin form it replaces —
     round(cosine, 6) DESC half-away-from-zero then centroid id ASC, via
@@ -643,6 +650,8 @@ def nearest_centroids_arrow(
         f"{id_col} {dtypes[id_col]}, {vec_col} {dtypes[vec_col]}, "
         f"{cid_col} {cid_type}"
     )
+    if emit_sim:
+        schema += ", __simq bigint"
 
     def fn(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, unit, rank = bc.value
@@ -651,19 +660,21 @@ def nearest_centroids_arrow(
             if not len(pdf):
                 continue
             sims = _normalized_batch(pdf[vec_col]) @ unit.T  # (batch, K)
-            comp = _quantize_half_up(sims) * (1 << 34) - rank[None, :]
+            q = _quantize_half_up(sims)
+            comp = q * (1 << 34) - rank[None, :]
             if m == 1:
                 pick = np.argmax(comp, axis=1)[:, None]
             else:
                 pick = np.argsort(-comp, axis=1)[:, :m]
             reps = np.repeat(np.arange(len(pdf)), m)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy()[reps],
-                    vec_col: pdf[vec_col].iloc[reps.tolist()].to_numpy(),
-                    cid_col: ids[pick.ravel()].astype(cid_np),
-                }
-            )
+            out = {
+                id_col: pdf[id_col].to_numpy()[reps],
+                vec_col: pdf[vec_col].iloc[reps.tolist()].to_numpy(),
+                cid_col: ids[pick.ravel()].astype(cid_np),
+            }
+            if emit_sim:
+                out["__simq"] = q[reps, pick.ravel()]
+            yield pd.DataFrame(out)
 
     return df.select(id_col, vec_col).mapInPandas(fn, schema)
 

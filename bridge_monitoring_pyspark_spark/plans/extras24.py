@@ -43,7 +43,7 @@ import math
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.similarity import nearest_centroids_arrow
@@ -250,6 +250,99 @@ def _semdedup_prune_kmeans_capped(
     return _prune_survivors(m_sub, extra_group_cols=("sub",))
 
 
+def _semdedup_prune_kmeans_capped_proj(
+    spark: SparkSession, sf_dir: str, cap: int = SEMDEDUP_CAP
+) -> DataFrame:
+    """Locality-preserving capped SemDeDup — same hard per-task bound as
+    the hash-split form, measurably higher recall.
+
+    The round-12 recall sweep (tools/recall_capped_semdedup.py →
+    SCALING.md) put a number on the hash split's documented trade:
+    ``vec_id % nsub`` scatters a near-dup pair into the same sub-cluster
+    with probability ~1/nsub, so recall vs the uncapped ground truth was
+    0.42/0.15/0.03/0.02 at sf0.01/sf0.1/d1/d2 with CAP=32. This variant
+    replaces the random split with a LOCALITY split: members of each
+    cluster are ranked by their quantized cosine to the cluster centroid
+    (``__simq`` from the same Arrow/BLAS assignment pass — no extra
+    compute), ties broken by vec_id, and consecutive runs of CAP become
+    the sub-clusters. By the triangle inequality on angles, a near-dup
+    pair's centroid-cosines differ by at most the pair's own angle, so
+    near-dups sit close in the ranking and usually share a chunk —
+    recall at the same CAP is strictly better wherever it differs (the
+    sweep measures the delta; tests pin proj ≥ hash at the oracle sf).
+
+    Cost vs hash: one extra corpus shuffle (the rank window partitions by
+    cid, then the sweep regroups by (cid, sub)) and a per-cluster
+    sort — both Spark sort-spill operators, per-task memory stays
+    bounded. The sweep itself is identical: groups ≤ CAP rows. Oracle:
+    same Lloyd CTEs + arg_max assignment, then the identical rank rule
+    (row_number over (simq DESC, vec_id) per cluster, chunked by CAP) —
+    hash-checked end to end."""
+    with pinned_shuffle_partitions(spark):
+        pts = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .localCheckpoint()
+        )
+        model = lloyd_centroids(pts)
+    cdf = spark.createDataFrame(
+        [(cid, vec) for cid, vec in model], "cid int, embedding array<double>"
+    )
+    m = nearest_centroids_arrow(
+        pts, cdf, "vec_id", "embedding", "cid", 1, emit_sim=True
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.col("__simq").desc(), F.col("vec_id")
+    )
+    m_sub = (
+        m.withColumn("rn", F.row_number().over(w))
+        .withColumn("sub", F.expr(f"cast((rn - 1) div {cap} as int)"))
+        .drop("__simq", "rn")
+    )
+    return _prune_survivors(m_sub, extra_group_cols=("sub",))
+
+
+def _semdedup_kmeans_capped_proj_sql() -> str:
+    ctes = ",\n".join(lloyd_cte_parts(final_assign=False))
+    return f"""
+WITH {ctes},
+assigned AS MATERIALIZED (
+  SELECT p.vec_id,
+         arg_max(c.cluster,
+                 CAST(round(round(list_cosine_similarity(
+                        CAST(p.embedding AS DOUBLE[]), c.cent), 6)
+                      * 1000000, 0) AS BIGINT) * 10000000 - c.cluster) AS cid
+  FROM pts p CROSS JOIN c{KMEANS_ITERS} c GROUP BY p.vec_id
+),
+m AS (
+  SELECT a.vec_id, a.cid, CAST(e.embedding AS DOUBLE[]) AS v,
+         CAST(round(round(list_cosine_similarity(
+                CAST(e.embedding AS DOUBLE[]), c.cent), 6)
+              * 1000000, 0) AS BIGINT) AS simq
+  FROM assigned a
+  JOIN pts e USING (vec_id)
+  JOIN c{KMEANS_ITERS} c ON c.cluster = a.cid
+),
+ranked AS (
+  SELECT vec_id, cid, v,
+         CAST((row_number() OVER (PARTITION BY cid
+                                  ORDER BY simq DESC, vec_id) - 1)
+              // {SEMDEDUP_CAP} AS INT) AS sub
+  FROM m
+),
+dropped AS (
+  SELECT DISTINCT y.vec_id AS vec_b
+  FROM ranked x JOIN ranked y
+    ON x.cid = y.cid AND x.sub = y.sub AND x.vec_id < y.vec_id
+  WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {SEMDEDUP_TAU}
+)
+SELECT r.vec_id, r.cid AS cluster_id
+FROM ranked r LEFT JOIN dropped d ON r.vec_id = d.vec_b
+WHERE d.vec_b IS NULL
+ORDER BY vec_id
+"""
+
+
 def _semdedup_kmeans_sql() -> str:
     ctes = ",\n".join(lloyd_cte_parts(final_assign=False))
     return f"""
@@ -336,5 +429,12 @@ QUERIES = [
         _semdedup_prune_kmeans_capped,
         _semdedup_kmeans_capped_sql(),
         ("llm", "dedup", "embedding", "semdedup", "iterative", "scale"),
+    ),
+    Query(
+        "semdedup_prune_kmeans_capped_proj",
+        _semdedup_prune_kmeans_capped_proj,
+        _semdedup_kmeans_capped_proj_sql(),
+        ("llm", "dedup", "embedding", "semdedup", "iterative", "scale",
+         "recall"),
     ),
 ]

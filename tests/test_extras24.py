@@ -10,7 +10,7 @@ from bridge_monitoring_pyspark_spark.plans.catalog import all_queries
 from bridge_monitoring_pyspark_spark.plans.extras24 import SEMDEDUP_TAU
 from bridge_monitoring_pyspark_spark.sources.readers import load_table
 
-from testdata_paths import SF_SMOKE
+from testdata_paths import SF_ORACLE, SF_SMOKE
 
 # Engine rounding rule (ADVICE r10): quantize to int micro-units rounding
 # half AWAY FROM ZERO — Python round() is half-to-even, so a cosine landing
@@ -220,3 +220,54 @@ def test_semdedup_kmeans_plan_uses_arrow_assigner(spark):
     assert "MapInPandas" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_semdedup_capped_proj_subset_and_rank_rule(spark):
+    """The locality split only relaxes the sweep (every uncapped survivor
+    still survives), and its drops are a subset of the uncapped drops —
+    the same soundness contract the hash split pins above."""
+    proj = {
+        r.vec_id
+        for r in all_queries()["semdedup_prune_kmeans_capped_proj"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    }
+    uncapped = {
+        r.vec_id
+        for r in all_queries()["semdedup_prune_kmeans"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    }
+    assert uncapped <= proj
+
+
+def test_semdedup_capped_recall_floors(spark):
+    """Round-12 recall measurement, pinned as a regression gate at the
+    oracle sf (CAP=32 splits clusters of ~60 members into 2 subs there):
+    measured hash recall 0.417, proj recall 0.583 — floors at 0.35 / 0.50
+    with the proj >= hash dominance asserted exactly. A split-rule change
+    that silently degrades recall fails here, not just in the sweep tool
+    (tools/recall_capped_semdedup.py; table in SCALING.md round-12)."""
+    sf = SF_ORACLE
+    every = {
+        r.vec_id
+        for r in load_table(spark, sf, "embeddings").select("vec_id").collect()
+    }
+    uncapped_drops = every - {
+        r.vec_id
+        for r in all_queries()["semdedup_prune_kmeans"].build(spark, sf).collect()
+    }
+    assert uncapped_drops, "oracle sf must produce ground-truth drops"
+    recall = {}
+    for name in ("semdedup_prune_kmeans_capped", "semdedup_prune_kmeans_capped_proj"):
+        drops = every - {
+            r.vec_id for r in all_queries()[name].build(spark, sf).collect()
+        }
+        assert drops <= uncapped_drops  # soundness: no stray drops
+        recall[name] = len(drops) / len(uncapped_drops)
+    assert recall["semdedup_prune_kmeans_capped"] >= 0.35
+    assert recall["semdedup_prune_kmeans_capped_proj"] >= 0.50
+    assert (
+        recall["semdedup_prune_kmeans_capped_proj"]
+        >= recall["semdedup_prune_kmeans_capped"]
+    )

@@ -39,7 +39,13 @@ sys.path.insert(0, REPO)
 from bridge_monitoring_pyspark_spark.plans.extras24 import (  # noqa: E402
     _semdedup_prune_kmeans,
     _semdedup_prune_kmeans_capped,
+    _semdedup_prune_kmeans_capped_proj,
 )
+
+VARIANTS = {
+    "hash": _semdedup_prune_kmeans_capped,
+    "proj": _semdedup_prune_kmeans_capped_proj,
+}
 from bridge_monitoring_pyspark_spark.session import get_spark  # noqa: E402
 from bridge_monitoring_pyspark_spark.sources.readers import load_table  # noqa: E402
 
@@ -48,6 +54,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--caps", type=int, nargs="+", default=[32, 128, 512])
+    ap.add_argument(
+        "--variants", nargs="+", choices=sorted(VARIANTS), default=["hash"],
+        help="split rules to sweep: 'hash' (vec_id %% nsub) and/or 'proj' "
+             "(rank by cosine-to-centroid, chunk runs of CAP)",
+    )
     a = ap.parse_args()
 
     spark = get_spark(
@@ -80,35 +91,35 @@ def main() -> None:
         flush=True,
     )
 
-    for cap in a.caps:
-        t0 = time.time()
-        survivors = {
-            r.vec_id
-            for r in _semdedup_prune_kmeans_capped(
-                spark, a.sf_dir, cap=cap
-            ).collect()
-        }
-        sec = round(time.time() - t0, 2)
-        drops = all_ids - survivors
-        stray = drops - drops_uncapped  # must be empty (subset invariant)
-        recall = (
-            len(drops & drops_uncapped) / len(drops_uncapped)
-            if drops_uncapped
-            else 1.0
-        )
-        print(
-            json.dumps(
-                {
-                    "cap": cap,
-                    "recall": round(recall, 4),
-                    "false_survivors": len(drops_uncapped - drops),
-                    "n_dropped": len(drops),
-                    "subset_violations": len(stray),
-                    "capped_sec": sec,
-                }
-            ),
-            flush=True,
-        )
+    for variant in a.variants:
+        build = VARIANTS[variant]
+        for cap in a.caps:
+            t0 = time.time()
+            survivors = {
+                r.vec_id for r in build(spark, a.sf_dir, cap=cap).collect()
+            }
+            sec = round(time.time() - t0, 2)
+            drops = all_ids - survivors
+            stray = drops - drops_uncapped  # must be empty (subset invariant)
+            recall = (
+                len(drops & drops_uncapped) / len(drops_uncapped)
+                if drops_uncapped
+                else 1.0
+            )
+            print(
+                json.dumps(
+                    {
+                        "variant": variant,
+                        "cap": cap,
+                        "recall": round(recall, 4),
+                        "false_survivors": len(drops_uncapped - drops),
+                        "n_dropped": len(drops),
+                        "subset_violations": len(stray),
+                        "capped_sec": sec,
+                    }
+                ),
+                flush=True,
+            )
 
     spark.stop()
 
