@@ -271,10 +271,12 @@ def _semdedup_prune_kmeans_capped_proj(
     recall at the same CAP is strictly better wherever it differs (the
     sweep measures the delta; tests pin proj ≥ hash at the oracle sf).
 
-    Cost vs hash: one extra corpus shuffle (the rank window partitions by
-    cid, then the sweep regroups by (cid, sub)) and a per-cluster
-    sort — both Spark sort-spill operators, per-task memory stays
-    bounded. The sweep itself is identical: groups ≤ CAP rows. Oracle:
+    Cost vs hash: a per-cluster sort-spill window — and NO extra shuffle:
+    the executed plan (verified via .explain) carries exactly one corpus
+    Exchange, because hashpartitioning(cid) from the rank window already
+    satisfies the sweep's ClusteredDistribution(cid, sub), so Catalyst
+    inserts only a partition-local sort between them. Per-task memory
+    stays bounded (sort-based window spills; sweep groups ≤ CAP). Oracle:
     same Lloyd CTEs + arg_max assignment, then the identical rank rule
     (row_number over (simq DESC, vec_id) per cluster, chunked by CAP) —
     hash-checked end to end."""

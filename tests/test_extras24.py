@@ -271,3 +271,22 @@ def test_semdedup_capped_recall_floors(spark):
         recall["semdedup_prune_kmeans_capped_proj"]
         >= recall["semdedup_prune_kmeans_capped"]
     )
+
+
+def test_semdedup_capped_proj_plan_single_corpus_shuffle(spark):
+    """The locality split must stay one-corpus-shuffle: the rank window's
+    hashpartitioning(cid) satisfies the sweep's
+    ClusteredDistribution(cid, sub), so Catalyst inserts only a
+    partition-local sort between them. Exactly 2 Exchanges total (cid
+    hash + the final orderBy range partition) and 1 Window; a regression
+    that regroups the corpus for the sweep shows up as a third."""
+    plan = (
+        all_queries()["semdedup_prune_kmeans_capped_proj"]
+        .build(spark, SF_SMOKE)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 2, plan.count("Exchange")
+    assert plan.count("Window [") == 1
+    assert "BatchEvalPython" not in plan
