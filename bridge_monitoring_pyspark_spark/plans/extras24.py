@@ -92,7 +92,11 @@ def _semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SWEEP_BLOCK = 2048  # row-block size of the per-cluster cosine matmul
 
 
-def _prune_survivors(m: DataFrame, extra_group_cols: tuple[str, ...] = ()) -> DataFrame:
+def _prune_survivors(
+    m: DataFrame,
+    extra_group_cols: tuple[str, ...] = (),
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
     """Keep-first sweep over an assigned corpus ``m = (vec_id, embedding,
     cid)``: a vector is dropped iff a lower-id vector in the same cluster
     has round(cosine, 6) >= TAU with it. Shared by the stride-centroid
@@ -112,7 +116,7 @@ def _prune_survivors(m: DataFrame, extra_group_cols: tuple[str, ...] = ()) -> Da
     on a secondary hash)."""
     from ..operators.similarity import _normalized_batch, _quantize_half_up
 
-    tau_q = int(round(SEMDEDUP_TAU * 1_000_000))
+    tau_q = int(round(tau * 1_000_000))
     id_t = dict(m.dtypes)["vec_id"]
     cid_t = dict(m.dtypes)["cid"]
 
@@ -167,7 +171,9 @@ WHERE d.vec_b IS NULL
 ORDER BY vec_id
 """
 
-def _semdedup_prune_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _semdedup_prune_kmeans(
+    spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU
+) -> DataFrame:
     """Fixed-K SemDeDup — the 100 TB posture SCALING.md documents for the
     stride witness, now running code: centroids are the trained
     kmeans_embeddings model (K = KMEANS_K, KMEANS_ITERS Lloyd updates,
@@ -191,11 +197,12 @@ def _semdedup_prune_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(cid, vec) for cid, vec in model], "cid int, embedding array<double>"
     )
     m = nearest_centroids_arrow(pts, cdf, "vec_id", "embedding", "cid", 1)
-    return _prune_survivors(m)  # (vec_id, cluster_id)
+    return _prune_survivors(m, tau=tau)  # (vec_id, cluster_id)
 
 
 def _semdedup_prune_kmeans_capped(
-    spark: SparkSession, sf_dir: str, cap: int = SEMDEDUP_CAP
+    spark: SparkSession, sf_dir: str, cap: int = SEMDEDUP_CAP,
+    tau: float = SEMDEDUP_TAU,
 ) -> DataFrame:
     """Cluster-size-capped SemDeDup — the shape that survives decade 3.
 
@@ -247,11 +254,12 @@ def _semdedup_prune_kmeans_capped(
         )
         .drop("c_sz")
     )
-    return _prune_survivors(m_sub, extra_group_cols=("sub",))
+    return _prune_survivors(m_sub, extra_group_cols=("sub",), tau=tau)
 
 
 def _semdedup_prune_kmeans_capped_proj(
-    spark: SparkSession, sf_dir: str, cap: int = SEMDEDUP_CAP
+    spark: SparkSession, sf_dir: str, cap: int = SEMDEDUP_CAP,
+    tau: float = SEMDEDUP_TAU,
 ) -> DataFrame:
     """Locality-preserving capped SemDeDup — same hard per-task bound as
     the hash-split form, measurably higher recall.
@@ -301,7 +309,7 @@ def _semdedup_prune_kmeans_capped_proj(
         .withColumn("sub", F.expr(f"cast((rn - 1) div {cap} as int)"))
         .drop("__simq", "rn")
     )
-    return _prune_survivors(m_sub, extra_group_cols=("sub",))
+    return _prune_survivors(m_sub, extra_group_cols=("sub",), tau=tau)
 
 
 def _semdedup_kmeans_capped_proj_sql() -> str:

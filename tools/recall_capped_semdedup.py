@@ -55,6 +55,12 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--caps", type=int, nargs="+", default=[32, 128, 512])
     ap.add_argument(
+        "--tau", type=float, default=None,
+        help="near-dup threshold override (default: the catalog's "
+             "SEMDEDUP_TAU=0.4); production SemDeDup runs ~0.9+, where the "
+             "locality split's advantage is largest",
+    )
+    ap.add_argument(
         "--variants", nargs="+", choices=sorted(VARIANTS), default=["hash"],
         help="split rules to sweep: 'hash' (vec_id %% nsub) and/or 'proj' "
              "(rank by cosine-to-centroid, chunk runs of CAP)",
@@ -73,9 +79,11 @@ def main() -> None:
         .collect()
     }
 
+    tau_kw = {} if a.tau is None else {"tau": a.tau}
     t0 = time.time()
     uncapped_survivors = {
-        r.vec_id for r in _semdedup_prune_kmeans(spark, a.sf_dir).collect()
+        r.vec_id
+        for r in _semdedup_prune_kmeans(spark, a.sf_dir, **tau_kw).collect()
     }
     uncapped_sec = round(time.time() - t0, 2)
     drops_uncapped = all_ids - uncapped_survivors
@@ -83,6 +91,7 @@ def main() -> None:
         json.dumps(
             {
                 "sf_dir": a.sf_dir,
+                "tau": a.tau,
                 "n_vectors": len(all_ids),
                 "n_dropped_uncapped": len(drops_uncapped),
                 "uncapped_sec": uncapped_sec,
@@ -96,7 +105,8 @@ def main() -> None:
         for cap in a.caps:
             t0 = time.time()
             survivors = {
-                r.vec_id for r in build(spark, a.sf_dir, cap=cap).collect()
+                r.vec_id
+                for r in build(spark, a.sf_dir, cap=cap, **tau_kw).collect()
             }
             sec = round(time.time() - t0, 2)
             drops = all_ids - survivors
