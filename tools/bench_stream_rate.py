@@ -366,11 +366,12 @@ def main() -> None:
         "--state-store",
         choices=("hdfs", "rocksdb"),
         default="hdfs",
-        help="state store provider for stateful modes: the default "
-             "HDFS-backed in-memory map (snapshots the FULL state per "
-             "batch) or RocksDB (incremental changelog — the provider a "
-             "100 TB deployment runs, and the answer to the decade-3 "
-             "sessionizer adjudication in SCALING.md)",
+        help="state store provider for stateful modes: the engine-default "
+             "session pins RocksDB, so 'hdfs' here genuinely swaps in the "
+             "HDFS-backed in-memory map. Round-12 genuine A-B: throughput "
+             "parity at every measured state size; the real difference is "
+             "state memory (on-heap full map vs native memtables/SSTs) — "
+             "see SCALING.md's retraction section",
     )
     a = ap.parse_args()
 
