@@ -111,7 +111,15 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # Viterbi DP stays oracle-checked from position 51+.
     "streaming_foreachbatch_upsert",
     "dedup_exact_docs",
-    "neardup_minhash_lsh_pairs",
+    # round-12 rotation: driver-verify the locality-preserving capped
+    # SemDeDup (plans/extras24.py) — this round's new code, rotated in
+    # the round it ships so it never becomes "the most expensive
+    # never-driver-verified entry" (the r10-r12 verdict pattern). Its
+    # slot was neardup_minhash_lsh_pairs, driver-green since r5 —
+    # minhash-LSH stays witnessed in-window INSIDE
+    # dedup_pipeline_survivors (whose stage 2 is the same banded LSH),
+    # and the standalone pair generator stays oracle-checked from 51+.
+    "semdedup_prune_kmeans_capped_proj",
     # round-9 rotation (VERDICT r8 item 5): driver-verify the distributed
     # Bloom-filter shingle decontamination (plans/extras31.py), the most
     # expensive previously-oracle-only witness. Its slot was
@@ -257,6 +265,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # oracle-checked from position 51+.
     "hybrid_rrf_retrieval",
     # position 51+: operator ids above already covered elsewhere
+    "neardup_minhash_lsh_pairs",
     "semdedup_prune_kmeans",
     "substring_dedup_clean",
     "weighted_sample_per_lang",
