@@ -20,9 +20,13 @@ witnessed: ``semdedup_prune`` uses deterministic stride centroids
 (K ~ sqrt(N)) so the oracle replays centroid choice exactly, and
 ``semdedup_prune_kmeans`` is the 100 TB production form — a trained
 fixed-K Lloyd model (plans/extras9) feeding the same assigner, O(N·K·d)
-BLAS with corpus-independent K. At 100 TB you would additionally cap
-cluster size (split oversized clusters on a secondary hash). Both are
-hash-checked witnesses, not recall claims.
+BLAS with corpus-independent K. At 100 TB the cluster size must be
+capped, and two split rules are shipped: ``semdedup_prune_kmeans_capped``
+(random ``vec_id % nsub`` hash — one corpus shuffle, recall ~1/nsub for
+pair dups) and ``semdedup_prune_kmeans_capped_proj`` (rank members by
+cosine-to-centroid and chunk runs of CAP — same shuffle count, up to 6x
+the hash split's recall; round-12 measurement in SCALING.md). All are
+hash-checked witnesses; the recall numbers are measured, not claimed.
 
 Keep rule (deterministic keep-first): within a cluster, a vector is
 DROPPED iff some lower-id vector in the same cluster has cosine
