@@ -290,3 +290,66 @@ def test_semdedup_capped_proj_plan_single_corpus_shuffle(spark):
     assert plan.count("Exchange") == 2, plan.count("Exchange")
     assert plan.count("Window [") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_semdedup_kmeans_capped_proj_matches_numpy_replay(spark):
+    """Locality-split variant: same Lloyd + assignment replay, then rank
+    members per cluster by (quantized cosine-to-centroid DESC, vec_id
+    ASC), chunk consecutive runs of CAP into subs, and sweep per
+    (cid, sub) — the full proj pipeline re-derived in pure numpy."""
+    from bridge_monitoring_pyspark_spark.plans.extras9 import (
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+    from bridge_monitoring_pyspark_spark.plans.extras24 import SEMDEDUP_CAP
+
+    rows = load_table(spark, SF_SMOKE, "embeddings").collect()
+    rows.sort(key=lambda r: r.vec_id)
+    ids = [r.vec_id for r in rows]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    C = X[:KMEANS_K].copy()
+    for _ in range(KMEANS_ITERS):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for k in range(KMEANS_K):
+            if (a == k).any():
+                C[k] = X[a == k].mean(axis=0)
+
+    def cos(a_, b_):
+        return float(a_ @ b_ / (np.linalg.norm(a_) * np.linalg.norm(b_)))
+
+    assigned = {
+        vid: max(range(KMEANS_K), key=lambda k: (_q6(cos(X[i], C[k])), -k))
+        for i, vid in enumerate(ids)
+    }
+    emb = {vid: X[i] for i, vid in enumerate(ids)}
+    simq = {
+        vid: _q6(cos(emb[vid], C[assigned[vid]])) for vid in assigned
+    }
+    clusters: dict[int, list[int]] = {}
+    for vid in sorted(assigned):
+        clusters.setdefault(assigned[vid], []).append(vid)
+    subclusters: dict[tuple[int, int], list[int]] = {}
+    split = 0
+    for cid, members in clusters.items():
+        ranked = sorted(members, key=lambda v: (-simq[v], v))
+        for pos, vid in enumerate(ranked):
+            if pos >= SEMDEDUP_CAP:
+                split += 1
+            subclusters.setdefault((cid, pos // SEMDEDUP_CAP), []).append(vid)
+    assert split > 0, "CAP must bite at the smoke SF or the rank rule is untested"
+    want = {}
+    for (cid, _sub), members in subclusters.items():
+        members = sorted(members)  # keep-first sweeps in vec_id order
+        for i, b in enumerate(members):
+            if not any(
+                _q6(cos(emb[a], emb[b])) >= _TAU_Q for a in members[:i]
+            ):
+                want[b] = cid
+    got = {
+        r.vec_id: r.cluster_id
+        for r in all_queries()["semdedup_prune_kmeans_capped_proj"]
+        .build(spark, SF_SMOKE)
+        .collect()
+    }
+    assert got == want
