@@ -97,20 +97,41 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # §2.5 analytic-window id stays witnessed in-window by
     # topk_parts_per_brand). Both displaced entries stay oracle-checked
     # from position 51+.
-    "stats_moments",
+    # round-13 rotation (VERDICT r12 item 3): driver-verify TPC-H Q2
+    # (correlated min-cost subquery) and Q21 (multi-join + exists/
+    # not-exists), the two most expensive never-driver-verified TPC-H
+    # entries. Their slots were stats_moments and bucketed_join_revenue
+    # (driver-green r11-r12 / since r4) — profiling stays witnessed
+    # in-window by column_profile_summary, the bucketed co-located join
+    # stays plan-gate-tested in tests/test_plan_quality.py, and both
+    # displaced entries stay oracle-checked from position 51+.
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
     "column_profile_summary",
     "topk_parts_per_brand",
-    "bucketed_join_revenue",
     # LLM-data pipeline suite
     "lang_id_heuristic",
-    "text_quality_stats",
+    # round-13 rotation (VERDICT r12 item 3): driver-verify the streaming
+    # quality filter (plans/extras19.py) — the quality-signal gate applied
+    # in a watermarked stream, never inside the window before. Its slot
+    # was text_quality_stats, driver-green since r4 — the quality-signal
+    # family stays witnessed in-window by this entry plus
+    # repetition_signals_gopher and lang_id_heuristic, and the batch form
+    # stays oracle-checked from position 51+.
+    "streaming_quality_filter",
     # round-10 rotation (VERDICT r9 item 4): driver-verify the
     # foreachBatch MERGE/upsert witness, never inside the window before.
     # Its slot was viterbi_segment_stats, driver-green in r9 —
     # tokenization stays witnessed in-window by bpe_train_merges, and the
     # Viterbi DP stays oracle-checked from position 51+.
     "streaming_foreachbatch_upsert",
-    "dedup_exact_docs",
+    # round-13 rotation (VERDICT r12 item 3): driver-verify the n-gram
+    # overlap decontamination (plans/extras14.py), never inside the
+    # window before. Its slot was dedup_exact_docs, driver-green since
+    # r2 — exact dedup stays witnessed in-window by stage 1 of
+    # dedup_pipeline_survivors (same min_by keep-first contract), and
+    # the standalone entry stays oracle-checked from position 51+.
+    "decontaminate_ngram_overlap",
     # round-12 rotation: driver-verify the locality-preserving capped
     # SemDeDup (plans/extras24.py) — this round's new code, rotated in
     # the round it ships so it never becomes "the most expensive
@@ -141,7 +162,15 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # and now tagged superseded-at-scale (it OOMs at decade 3 where this
     # form survives); it stays oracle-checked from position 51+.
     "semdedup_prune_kmeans_capped",
-    "sequence_packing_stats",
+    # round-13 rotation (VERDICT r12 item 3): driver-verify the BPE
+    # encoder top-k (plans/extras26.py) — greedy merge-table application,
+    # the inference half of the tokenizer whose training loop is already
+    # in-window — and the most expensive never-driver-verified entry
+    # (1.65 s). Its slot was sequence_packing_stats, driver-green since
+    # r5 — the tokenizer family stays witnessed in-window by
+    # bpe_train_merges + bpe_fertility_by_lang + this entry, and the
+    # packing witness stays oracle-checked from position 51+.
+    "bpe_encode_topk",
     # round-5 data-selection + sketch headliners (rotated into the capped
     # window per round-5 review; the five slots they took were redundant
     # second witnesses of already-covered §2 ids)
@@ -323,6 +352,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "q6_forecast_revenue",
     "window_running_order_totals",
     "pagerank_transitions",
+    # displaced by the round-13 rotation; still oracle-checked every round
+    "stats_moments",
+    "bucketed_join_revenue",
+    "text_quality_stats",
+    "dedup_exact_docs",
+    "sequence_packing_stats",
 )
 
 
