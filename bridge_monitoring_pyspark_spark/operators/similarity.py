@@ -170,8 +170,14 @@ BLOCK_TARGET_ROWS = 8192
 
 
 def auto_n_blocks(df: DataFrame, target_rows: int = BLOCK_TARGET_ROWS) -> int:
-    """ceil(|df| / target_rows), floor 1 — one count() job (parquet footer
-    counts; cheap next to the O(N^2/n_blocks) work it sizes)."""
+    """ceil(|df| / target_rows), floor 1 — one count() job.
+
+    Caveat (ADVICE r12): this count() evaluates ``df``'s upstream plan an
+    extra time. For the catalog case (a parquet scan) that is a footer
+    count — cheap next to the O(N^2/n_blocks) work it sizes — but a caller
+    passing a derived DataFrame with nontrivial upstream stages (e.g. a
+    mapInPandas output) pays that plan twice; cache/localCheckpoint the
+    input first, or pass ``n_blocks`` explicitly from a known row count."""
     return max(1, -(-df.count() // target_rows))
 
 

@@ -279,9 +279,11 @@ def _semdedup_prune_kmeans_capped_proj(
     compute), ties broken by vec_id, and consecutive runs of CAP become
     the sub-clusters. By the triangle inequality on angles, a near-dup
     pair's centroid-cosines differ by at most the pair's own angle, so
-    near-dups sit close in the ranking and usually share a chunk —
-    recall at the same CAP is strictly better wherever it differs (the
-    sweep measures the delta; tests pin proj ≥ hash at the oracle sf).
+    near-dups sit close in the ranking and usually share a chunk. That
+    makes the recall advantage MEASURED, not proven — a chunk boundary
+    can still separate a pair the hash split happens to co-locate — but
+    the round-12 sweep found proj ≥ hash at every measured cell (6.0× at
+    200k vectors), and tests pin proj ≥ hash at the swept scale factors.
 
     Cost vs hash: a per-cluster sort-spill window — and NO extra shuffle:
     the executed plan (verified via .explain) carries exactly one corpus

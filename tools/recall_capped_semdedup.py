@@ -130,6 +130,16 @@ def main() -> None:
                 ),
                 flush=True,
             )
+            if stray:
+                # Fatal: a capped drop with no uncapped counterpart breaks
+                # the subset invariant the recall/false_survivors formulas
+                # above depend on — a run past this point would publish
+                # quietly inconsistent numbers.
+                sys.exit(
+                    f"recall_capped_semdedup: subset invariant VIOLATED — "
+                    f"{len(stray)} capped-only drops (variant={variant}, "
+                    f"cap={cap}); sample={sorted(stray)[:5]}"
+                )
 
     spark.stop()
 
