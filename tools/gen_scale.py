@@ -29,6 +29,21 @@ quadratic shape:
 
 Copy 0 is byte-identical to the source, so sf0.1 results embed in sf1.
 
+**Planted tight near-dups (round 13, VERDICT r12 item 2).** The synthetic
+embeddings have NO pairs above cosine 0.6 (max-pair sweep, SCALING.md
+round 12), so the production SemDeDup regime (τ ≈ 0.9) was unmeasurable.
+``--plant-pairs P`` overwrites, per copy, P target rows with exact-cosine
+near-dups of P distinct source rows: for unit source û and a seeded
+gaussian direction orthogonalized to it (ŵ), the target becomes
+``(cosθ·û + sinθ·ŵ)·‖orig‖`` with θ drawn so cos θ ∈ [0.905, 0.98] —
+strictly inside τ=0.9, scale-preserving, deterministic. Pairs are
+within-copy (planted-pair counts scale linearly with --factor) and
+planting happens after the per-copy dimension permutation (orthogonal, so
+the constructed cosine is exact either way). Default 0 = no planting; the
+copy-0-byte-identical invariant and every committed SCALE_RUNS* timing
+fixture are untouched unless the flag is passed — planted corpora belong
+in their own --dst (convention: ``.scale/sf<k>nd``).
+
 Usage:
     python tools/gen_scale.py [--src /root/testdata/sf0.1] \
         [--dst .scale/sf1] [--factor 10]
@@ -95,7 +110,45 @@ def _letter_cipher(copy: int) -> dict[int, int] | None:
     )
 
 
-def _transform_copy(table: str, t: pa.Table, copy: int, strides: dict[str, int]) -> pa.Table:
+def plant_neardup_pairs(
+    mat: np.ndarray,
+    rng: np.random.Generator,
+    n_pairs: int,
+    cos_lo: float = 0.905,
+    cos_hi: float = 0.98,
+) -> list[tuple[int, int]]:
+    """Overwrite ``n_pairs`` rows of ``mat`` IN PLACE with exact-cosine
+    near-dups of ``n_pairs`` other rows; returns the (source, target) index
+    pairs.
+
+    Construction: for unit source û, draw gaussian g, orthogonalize to û
+    and normalize (ŵ), then target = (cosθ·û + sinθ·ŵ)·‖target_orig‖ with
+    cosθ ~ U[cos_lo, cos_hi]. cos(û, target) == cosθ exactly (up to float
+    rounding ~1e-7), and cosine is scale-invariant so preserving the
+    target's original norm keeps the corpus' magnitude distribution.
+    Sources and targets are 2·n_pairs DISTINCT rows, so no planted vector
+    is both a source and an overwritten target and the planted pairs are
+    mutually disjoint."""
+    n = len(mat)
+    if 2 * n_pairs > n:
+        raise ValueError(f"cannot plant {n_pairs} disjoint pairs in {n} rows")
+    idx = rng.choice(n, size=2 * n_pairs, replace=False)
+    src, dst = idx[:n_pairs], idx[n_pairs:]
+    u = mat[src].astype(np.float64)
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    g = rng.standard_normal(u.shape)
+    w = g - (g * u).sum(axis=1, keepdims=True) * u
+    w /= np.linalg.norm(w, axis=1, keepdims=True)
+    cos = rng.uniform(cos_lo, cos_hi, size=(n_pairs, 1))
+    norms = np.linalg.norm(mat[dst].astype(np.float64), axis=1, keepdims=True)
+    mat[dst] = ((cos * u + np.sqrt(1.0 - cos**2) * w) * norms).astype(mat.dtype)
+    return list(zip(src.tolist(), dst.tolist()))
+
+
+def _transform_copy(
+    table: str, t: pa.Table, copy: int, strides: dict[str, int],
+    plant_pairs: int = 0,
+) -> pa.Table:
     cols = {}
     key_cols = KEY_SPACES.get(table, {})
     for name in t.column_names:
@@ -111,18 +164,28 @@ def _transform_copy(table: str, t: pa.Table, copy: int, strides: dict[str, int])
             [s.translate(cipher) if s is not None else None for s in texts],
             type=t.schema.field("text").type,
         )
-    if table == "embeddings" and copy > 0:
+    if table == "embeddings" and (copy > 0 or plant_pairs):
         rng = np.random.default_rng(SEED * 2000 + copy)
         emb = cols["embedding"].combine_chunks()
         mat = np.asarray(emb.flatten()).reshape(len(t), -1)
-        perm = rng.permutation(mat.shape[1])
+        if copy > 0:
+            mat = mat[:, rng.permutation(mat.shape[1])]  # copies
+        else:
+            mat = mat.copy()  # planting writes in place; never the source
+        if plant_pairs:
+            plant_neardup_pairs(
+                mat, np.random.default_rng(SEED * 3000 + copy), plant_pairs
+            )
         cols["embedding"] = pa.FixedSizeListArray.from_arrays(
-            pa.array(mat[:, perm].ravel(), type=pa.float32()), mat.shape[1]
+            pa.array(mat.ravel(), type=pa.float32()), mat.shape[1]
         ).cast(t.schema.field("embedding").type)
     return pa.table(cols, schema=t.schema)
 
 
-def scale(src: str, dst: str, factor: int, only: set[str] | None = None) -> None:
+def scale(
+    src: str, dst: str, factor: int, only: set[str] | None = None,
+    plant_pairs: int = 0,
+) -> None:
     os.makedirs(dst, exist_ok=True)
     strides = _space_strides(src)
     tables = list(FIXED_TABLES) + list(KEY_SPACES)
@@ -140,9 +203,16 @@ def scale(src: str, dst: str, factor: int, only: set[str] | None = None) -> None
             # --factor 100 (sf10) fits without materializing the concat
             with pq.ParquetWriter(out_path, t.schema, compression="snappy") as w:
                 for c in range(factor):
-                    w.write_table(_transform_copy(table, t, c, strides))
+                    w.write_table(
+                        _transform_copy(table, t, c, strides, plant_pairs)
+                    )
             n_out = len(t) * factor
-        print(f"{table}: {len(t)} -> {n_out} rows")
+        planted = (
+            f"  ({plant_pairs} near-dup pairs/copy planted)"
+            if table == "embeddings" and plant_pairs
+            else ""
+        )
+        print(f"{table}: {len(t)} -> {n_out} rows{planted}")
 
 
 def main() -> None:
@@ -153,8 +223,13 @@ def main() -> None:
     ap.add_argument("--tables", default=None,
                     help="comma-list subset of tables to generate (e.g. "
                          "'documents,embeddings' for a vectors-only decade run)")
+    ap.add_argument("--plant-pairs", type=int, default=0,
+                    help="plant N exact-cosine (0.905-0.98) near-dup pairs "
+                         "per copy into embeddings (default 0 = untouched; "
+                         "use a dedicated --dst, e.g. .scale/sf1nd)")
     a = ap.parse_args()
-    scale(a.src, a.dst, a.factor, set(a.tables.split(",")) if a.tables else None)
+    scale(a.src, a.dst, a.factor,
+          set(a.tables.split(",")) if a.tables else None, a.plant_pairs)
 
 
 if __name__ == "__main__":
