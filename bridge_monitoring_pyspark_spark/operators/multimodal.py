@@ -25,12 +25,18 @@ Scale notes: binary payloads dominate row width; keep
 memory-bounded, and never groupBy/shuffle the payload column — project the
 features out first, then drop the bytes. Every mapInPandas generator here
 works strictly batch-at-a-time (no cross-batch accumulation — round-12
-memory-bounds audit), so the per-task working set is one Arrow batch:
-``spark.sql.execution.arrow.maxRecordsPerBatch`` (default 10k) × the max
-payload. That default is sized for scalar rows — a production media
-pipeline with multi-MB payloads must pin it down (e.g. 256) or the batch
-itself becomes gigabytes; the fixtures here are ~KB so the default holds
-locally.
+memory-bounds audit), so the per-task working set is one Arrow batch.
+Batch BYTES are bounded natively: Spark 4's serializer slices JVM→Python
+batches at ``spark.sql.execution.arrow.maxBytesPerBatch`` (default 64 MB)
+in addition to the 10k-row ``maxRecordsPerBatch`` cap, so multi-MB
+payloads arrive in proportionally shorter batches instead of gigabyte
+ones — the round-12 audit's "payload width × 10k rows" residual closes in
+the engine, at every Arrow hop, under any session (measured: 1 MB
+payloads arrive ≤64 rows/batch with default confs —
+tests/test_arrow_batch_bound.py reads the effective batch sizes back).
+Pipelines needing a tighter budget scope ``session.pinned_arrow_batch``
+around a materialization (the conf is action-time; the same test
+witnesses the override mechanics).
 """
 
 from __future__ import annotations
