@@ -156,3 +156,50 @@ def test_embedding_permutation_orthogonal(scaled):
         # so the float check is tolerance-1-ulp only
         assert sorted(v.tolist()) == sorted(b.tolist()), vid
         assert abs(np.linalg.norm(v) - np.linalg.norm(b)) < 1e-12, vid
+
+
+def test_plant_neardup_pairs_exact_cosine():
+    """Round-13 planting (VERDICT r12 item 2): planted targets hit the
+    requested cosine band EXACTLY against their sources, preserve the
+    overwritten row's norm, touch nothing else, use disjoint indices, and
+    replay deterministically from the same seed."""
+    from gen_scale import plant_neardup_pairs
+
+    rng = np.random.default_rng(7)
+    mat = (rng.standard_normal((400, 32)) * 3).astype(np.float32)
+    orig = mat.copy()
+    pairs = plant_neardup_pairs(mat, np.random.default_rng(1), 60)
+    src = np.array([p[0] for p in pairs])
+    dst = np.array([p[1] for p in pairs])
+    u = mat[src] / np.linalg.norm(mat[src], axis=1, keepdims=True)
+    v = mat[dst] / np.linalg.norm(mat[dst], axis=1, keepdims=True)
+    cos = (u * v).sum(axis=1)
+    assert cos.min() >= 0.905 - 1e-5 and cos.max() <= 0.98 + 1e-5
+    assert np.allclose(
+        np.linalg.norm(mat[dst], axis=1),
+        np.linalg.norm(orig[dst], axis=1),
+        rtol=1e-5,
+    )
+    untouched = np.ones(len(mat), dtype=bool)
+    untouched[dst] = False
+    assert np.array_equal(mat[untouched], orig[untouched])
+    assert len(set(src) | set(dst)) == 2 * len(pairs)  # disjoint
+    mat2 = orig.copy()
+    assert plant_neardup_pairs(mat2, np.random.default_rng(1), 60) == pairs
+    assert np.array_equal(mat, mat2)
+    with pytest.raises(ValueError):
+        plant_neardup_pairs(mat2, np.random.default_rng(2), 201)  # 402 > 400
+
+
+def test_plant_zero_pairs_leaves_scale_output_identical(tmp_path):
+    """--plant-pairs 0 (the default) must be byte-identical to the
+    pre-round-13 generator output — the committed SCALE_RUNS* timing
+    fixtures depend on it."""
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    scale(SRC, a, 2, {"embeddings"})
+    scale(SRC, b, 2, {"embeddings"}, plant_pairs=0)
+    with open(os.path.join(a, "embeddings.parquet"), "rb") as fa, open(
+        os.path.join(b, "embeddings.parquet"), "rb"
+    ) as fb:
+        assert fa.read() == fb.read()

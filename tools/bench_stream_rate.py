@@ -309,6 +309,37 @@ def build_timer_sessionize(
     )
 
 
+def build_native_sessionize(
+    spark, rows_per_batch: int, partitions: int, n_keys: int = SESS_KEYS
+):
+    """SQL-native twin of the timer sessionizer (round 13, VERDICT r12
+    item 5): the SAME source, projection, idle pattern, watermark and
+    0.5 s gap, but sessionized with ``session_window`` + codegen
+    aggregates instead of applyInPandasWithState — the high-cardinality
+    scale path the catalog's ``streaming_session_window`` entry
+    (plans/streaming_q2.py) witnesses at fixture scale. No Python worker
+    anywhere: per-key rows never cross Arrow, so throughput should not
+    collapse with key cardinality the way the per-group-invocation timer
+    form does. What it gives up is the timer form's arbitrary per-session
+    Python logic and timer-driven early flush (sessions emit in append
+    mode only when the watermark passes session end + gap)."""
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", str(rows_per_batch))
+        .option("numPartitions", str(partitions))
+        .option("advanceMillisPerBatch", "1000")
+        .load()
+    )
+    ev = timer_sessionize_events(src, n_keys)
+    return ev.groupBy(
+        F.session_window(F.col("ts"), "0.5 seconds"), F.col("skey")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("first_us"),
+        F.max("us").alias("last_us"),
+    )
+
+
 def build_pipeline(spark, rows_per_batch: int, partitions: int, mode: str,
                    n_keys: int = SESS_KEYS):
     """rate-micro-batch source -> synth doc -> codegen score -> keep/drop."""
@@ -318,6 +349,8 @@ def build_pipeline(spark, rows_per_batch: int, partitions: int, mode: str,
         return build_semi_or_outer(spark, rows_per_batch, partitions, mode)
     if mode == "timer-sessionize":
         return build_timer_sessionize(spark, rows_per_batch, partitions, n_keys)
+    if mode == "native-sessionize":
+        return build_native_sessionize(spark, rows_per_batch, partitions, n_keys)
     src = (
         spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", str(rows_per_batch))
@@ -350,7 +383,7 @@ def main() -> None:
     ap.add_argument(
         "--mode",
         choices=("stateless", "stateful", "interval-join", "semi-join",
-                 "full-outer-join", "timer-sessionize"),
+                 "full-outer-join", "timer-sessionize", "native-sessionize"),
         default="stateless",
     )
     ap.add_argument("--cpus", default=os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -439,6 +472,12 @@ def main() -> None:
         # merge modes into one artifact keyed by mode (+ non-default
         # state store, so an hdfs/rocksdb A-B keeps both rows)
         key = a.mode if a.state_store == "hdfs" else f"{a.mode}-{a.state_store}"
+        if a.keys != SESS_KEYS and a.mode.endswith("sessionize"):
+            key += (
+                f"-{a.keys // 1_000_000}m-keys"
+                if a.keys % 1_000_000 == 0
+                else f"-{a.keys}-keys"
+            )
         existing = {}
         if os.path.exists(path):
             with open(path) as f:
