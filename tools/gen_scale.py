@@ -182,6 +182,35 @@ def _transform_copy(
     return pa.table(cols, schema=t.schema)
 
 
+def planted_pair_vec_ids(
+    src: str, factor: int, plant_pairs: int, strides: dict[str, int] | None = None
+) -> list[tuple[int, int]]:
+    """Replay the planting RNG to recover every planted (source vec_id,
+    target vec_id) pair of a ``scale(..., plant_pairs=P)`` run — the
+    ground truth that outlives the uncapped SemDeDup oracle (which OOMs at
+    decade 3 while planted-pair resolution stays countable at any scale).
+    Row index i of copy c maps to vec_id[i] + c·stride, and the planting
+    RNG (SEED·3000 + c) draws indices then the direction/cosine vectors,
+    so index pairs are recoverable WITHOUT touching the vectors."""
+    if strides is None:
+        strides = _space_strides(src)
+    t = pq.read_table(os.path.join(src, "embeddings.parquet"), columns=["vec_id"])
+    vec_ids = t["vec_id"].to_numpy()
+    n = len(vec_ids)
+    stride = strides["vecid"]
+    out: list[tuple[int, int]] = []
+    for c in range(factor):
+        rng = np.random.default_rng(SEED * 3000 + c)
+        idx = rng.choice(n, size=2 * plant_pairs, replace=False)
+        src_i, dst_i = idx[:plant_pairs], idx[plant_pairs:]
+        off = c * stride
+        out.extend(
+            (int(vec_ids[s]) + off, int(vec_ids[d]) + off)
+            for s, d in zip(src_i, dst_i)
+        )
+    return out
+
+
 def scale(
     src: str, dst: str, factor: int, only: set[str] | None = None,
     plant_pairs: int = 0,
@@ -213,6 +242,15 @@ def scale(
             else ""
         )
         print(f"{table}: {len(t)} -> {n_out} rows{planted}")
+    if plant_pairs and (only is None or "embeddings" in only):
+        # sidecar: the planted (src_vec_id, dst_vec_id) ground truth,
+        # recovered by RNG replay so it is exact by construction
+        import json
+
+        pairs = planted_pair_vec_ids(src, factor, plant_pairs, strides)
+        with open(os.path.join(dst, "planted_pairs.json"), "w") as f:
+            json.dump(pairs, f)
+        print(f"planted_pairs.json: {len(pairs)} pairs")
 
 
 def main() -> None:

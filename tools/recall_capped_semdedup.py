@@ -16,13 +16,26 @@ drop needs a smaller-id near-dup in the same (cid, sub), which is a
 fortiori the same cid — pinned by tests/test_extras24.py; this tool
 asserts it rather than assuming it.)
 
+Round 13 adds PLANTED-PAIR resolution: when the fixture carries a
+``planted_pairs.json`` sidecar (gen_scale --plant-pairs), every run also
+reports the fraction of planted near-dup pairs it resolved (>=1 member
+dropped). Unlike the uncapped oracle — which OOMs at decade 3 — planted
+ground truth is exact by construction at ANY scale, so ``--skip-uncapped``
+extends the proj-vs-hash comparison to the 2M-vector corpus the classic
+recall metric cannot reach. Where both metrics are measurable, the
+capped/uncapped gap on planted resolution tracks the classic recall
+(validated on d1/d2).
+
 Usage:
     python tools/recall_capped_semdedup.py --sf-dir /root/testdata/sf0.01 \
-        --caps 32 128 512
+        --caps 32 128 512 [--tau 0.9] [--variants hash proj] \
+        [--skip-uncapped]
 
 Prints one JSON line per cap plus a ground-truth line:
-    {"sf_dir", "n_vectors", "n_dropped_uncapped", "uncapped_sec"}
-    {"cap", "recall", "false_survivors", "n_dropped", "capped_sec"}
+    {"sf_dir", "n_vectors", "n_dropped_uncapped", "uncapped_sec",
+     "planted_resolved_uncapped"?}
+    {"variant", "cap", "n_dropped", "planted_resolved"?, "recall"?,
+     "false_survivors"?, "subset_violations"?, "capped_sec"}
 """
 
 from __future__ import annotations
@@ -65,6 +78,20 @@ def main() -> None:
         help="split rules to sweep: 'hash' (vec_id %% nsub) and/or 'proj' "
              "(rank by cosine-to-centroid, chunk runs of CAP)",
     )
+    ap.add_argument(
+        "--planted-pairs", default=None,
+        help="planted_pairs.json from gen_scale --plant-pairs (default: "
+             "auto-detect in --sf-dir). Adds planted_resolved — the "
+             "fraction of planted near-dup pairs with >=1 member dropped "
+             "— a ground truth that, unlike the uncapped oracle, stays "
+             "countable at scales where the uncapped sweep OOMs",
+    )
+    ap.add_argument(
+        "--skip-uncapped", action="store_true",
+        help="skip the uncapped ground-truth run (it OOMs at decade 3); "
+             "recall/false_survivors are omitted and only planted-pair "
+             "resolution is reported",
+    )
     a = ap.parse_args()
 
     spark = get_spark(
@@ -79,26 +106,45 @@ def main() -> None:
         .collect()
     }
 
+    pp_path = a.planted_pairs or os.path.join(a.sf_dir, "planted_pairs.json")
+    pairs: list | None = None
+    if os.path.exists(pp_path):
+        with open(pp_path) as f:
+            pairs = json.load(f)
+
+    def resolved(drops: set) -> float | None:
+        """Fraction of planted pairs SemDeDup resolved (>=1 member
+        dropped). Uncapped resolution < 1.0 is the co-clustering rate —
+        pairs split across k-means clusters are invisible to ANY
+        cluster-scoped sweep; the capped-vs-uncapped gap on this metric
+        tracks the classic recall where both are measurable."""
+        if pairs is None:
+            return None
+        return round(
+            sum(1 for s, d in pairs if s in drops or d in drops) / len(pairs), 4
+        )
+
     tau_kw = {} if a.tau is None else {"tau": a.tau}
-    t0 = time.time()
-    uncapped_survivors = {
-        r.vec_id
-        for r in _semdedup_prune_kmeans(spark, a.sf_dir, **tau_kw).collect()
+    drops_uncapped: set | None = None
+    head = {
+        "sf_dir": a.sf_dir,
+        "tau": a.tau,
+        "n_vectors": len(all_ids),
+        "n_planted_pairs": len(pairs) if pairs is not None else None,
     }
-    uncapped_sec = round(time.time() - t0, 2)
-    drops_uncapped = all_ids - uncapped_survivors
-    print(
-        json.dumps(
-            {
-                "sf_dir": a.sf_dir,
-                "tau": a.tau,
-                "n_vectors": len(all_ids),
-                "n_dropped_uncapped": len(drops_uncapped),
-                "uncapped_sec": uncapped_sec,
-            }
-        ),
-        flush=True,
-    )
+    if a.skip_uncapped:
+        head["n_dropped_uncapped"] = None  # ground truth out of reach here
+    else:
+        t0 = time.time()
+        uncapped_survivors = {
+            r.vec_id
+            for r in _semdedup_prune_kmeans(spark, a.sf_dir, **tau_kw).collect()
+        }
+        head["uncapped_sec"] = round(time.time() - t0, 2)
+        drops_uncapped = all_ids - uncapped_survivors
+        head["n_dropped_uncapped"] = len(drops_uncapped)
+        head["planted_resolved_uncapped"] = resolved(drops_uncapped)
+    print(json.dumps(head), flush=True)
 
     for variant in a.variants:
         build = VARIANTS[variant]
@@ -110,26 +156,25 @@ def main() -> None:
             }
             sec = round(time.time() - t0, 2)
             drops = all_ids - survivors
-            stray = drops - drops_uncapped  # must be empty (subset invariant)
-            recall = (
-                len(drops & drops_uncapped) / len(drops_uncapped)
-                if drops_uncapped
-                else 1.0
-            )
-            print(
-                json.dumps(
-                    {
-                        "variant": variant,
-                        "cap": cap,
-                        "recall": round(recall, 4),
-                        "false_survivors": len(drops_uncapped - drops),
-                        "n_dropped": len(drops),
-                        "subset_violations": len(stray),
-                        "capped_sec": sec,
-                    }
-                ),
-                flush=True,
-            )
+            row = {
+                "variant": variant,
+                "cap": cap,
+                "n_dropped": len(drops),
+                "planted_resolved": resolved(drops),
+                "capped_sec": sec,
+            }
+            stray: set = set()
+            if drops_uncapped is not None:
+                stray = drops - drops_uncapped  # must be empty (subset)
+                row["recall"] = round(
+                    len(drops & drops_uncapped) / len(drops_uncapped)
+                    if drops_uncapped
+                    else 1.0,
+                    4,
+                )
+                row["false_survivors"] = len(drops_uncapped - drops)
+                row["subset_violations"] = len(stray)
+            print(json.dumps(row), flush=True)
             if stray:
                 # Fatal: a capped drop with no uncapped counterpart breaks
                 # the subset invariant the recall/false_survivors formulas
