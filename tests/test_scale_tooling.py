@@ -203,3 +203,37 @@ def test_plant_zero_pairs_leaves_scale_output_identical(tmp_path):
         os.path.join(b, "embeddings.parquet"), "rb"
     ) as fb:
         assert fa.read() == fb.read()
+
+
+def test_planted_pairs_sidecar_replay_matches_vectors(tmp_path):
+    """The planted_pairs.json sidecar is recovered by RNG REPLAY (index
+    draws only), not recorded during planting — so pin that the replayed
+    (src, dst) vec_id pairs really are the planted ones: every sidecar
+    pair must hit the planted cosine band in the written parquet."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from gen_scale import planted_pair_vec_ids
+
+    d = str(tmp_path / "planted")
+    scale(SRC, d, 3, {"embeddings"}, plant_pairs=40)
+    with open(os.path.join(d, "planted_pairs.json")) as f:
+        pairs = json.load(f)
+    assert pairs == [list(p) for p in planted_pair_vec_ids(SRC, 3, 40)]
+    assert len(pairs) == 3 * 40
+    t = pq.read_table(os.path.join(d, "embeddings.parquet"))
+    vid = t["vec_id"].to_numpy()
+    mat = np.asarray(t["embedding"].combine_chunks().flatten()).reshape(
+        len(t), -1
+    )
+    pos = {int(v): i for i, v in enumerate(vid)}
+    s = np.array([pos[a] for a, b in pairs])
+    dst = np.array([pos[b] for a, b in pairs])
+    u = mat[s] / np.linalg.norm(mat[s], axis=1, keepdims=True)
+    v = mat[dst] / np.linalg.norm(mat[dst], axis=1, keepdims=True)
+    cos = (u * v).sum(axis=1)
+    assert cos.min() >= 0.905 - 1e-4 and cos.max() <= 0.98 + 1e-4
+    # pairs are within-copy: both ids fall in the same copy's id range
+    stride = int(vid.max() // 3) + 1  # 3 copies over the source key space
+    assert all(a // stride == b // stride for a, b in pairs)
