@@ -298,10 +298,11 @@ def decode_media(payload: bytes, mime: str) -> object:
     """Decode a media payload. REAL for 8-bit PNM images (P6 RGB, P5
     grayscale) — dependency-free parse to ``{width, height, channels,
     pixels: np.ndarray(h, w, c)}`` — for PNG via the stdlib-only
-    :func:`_png_decode`, for WAV/PCM audio via :func:`_wav_decode`, and
-    for Y4M video via :func:`_y4m_decode`. Other formats need
-    PIL/librosa/ffmpeg, which this container doesn't ship, and raise from
-    this same slot."""
+    :func:`_png_decode`, for WAV/PCM audio via :func:`_wav_decode`, for
+    compressed FLAC audio via :func:`flac.flac_decode` (fixed-predictor
+    subset, round 13), and for Y4M video via :func:`_y4m_decode`. Other
+    formats need PIL/librosa/ffmpeg, which this container doesn't ship,
+    and raise from this same slot."""
     if mime == "image/png":
         return _png_decode(bytes(payload))
     if mime in ("image/jpeg", "image/jpg"):
@@ -310,6 +311,10 @@ def decode_media(payload: bytes, mime: str) -> object:
         return jpeg_decode(bytes(payload))
     if mime in ("audio/wav", "audio/x-wav"):
         return _wav_decode(bytes(payload))
+    if mime in ("audio/flac", "audio/x-flac"):
+        from .flac import flac_decode
+
+        return flac_decode(bytes(payload))
     if mime == "video/x-yuv4mpeg":
         return _y4m_decode(bytes(payload))
     if mime in ("image/x-portable-pixmap", "image/x-portable-graymap"):
@@ -1020,17 +1025,57 @@ def with_wav_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(batches, "doc_id long, payload binary")
 
 
+def synth_flac(doc_id: int) -> bytes:
+    """Deterministic FLAC fixture for ``doc_id`` carrying EXACTLY the same
+    PCM as :func:`synth_wav` — channels ``1 + id%2``, ``64 + id%57``
+    frames, rate ``8000 + 1000*(id%5)``, interleaved sample
+    ``i = ((id*31 + i*97) % 4096) - 2048`` — so the SQL oracle that
+    replays the WAV entry's decoded statistics replays this one verbatim:
+    a decode defect anywhere in the bitstream walk, rice coding, predictor
+    reconstruction or CRC/MD5 handling is a hash fail against the SAME
+    closed form the uncompressed path already proves out. The blocksize
+    varies with the id (16/32/48) so frame counts, partial final blocks
+    and both rice partition orders are all exercised across the corpus."""
+    import numpy as np
+
+    from .flac import flac_encode
+
+    channels = 1 + doc_id % 2
+    n_frames = 64 + doc_id % 57
+    rate = 8000 + 1000 * (doc_id % 5)
+    i = np.arange(n_frames * channels, dtype=np.int64)
+    pcm = (((doc_id * 31 + i * 97) % 4096) - 2048).reshape(n_frames, channels)
+    return flac_encode(pcm, rate, blocksize=16 * (1 + doc_id % 3))
+
+
+def with_flac_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the :func:`synth_flac` fixture clip as a binary payload
+    column via an Arrow batch pass (same plumbing as the WAV twin)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": [synth_flac(int(d)) for d in pdf[id_col]],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(batches, "doc_id long, payload binary")
+
+
 AUDIO_STATS_SCHEMA = (
     "doc_id long, sample_rate int, channels int, n_frames int, "
     "sum_samples long, sum_abs long, peak_abs int, zero_cross long"
 )
 
 
-def decode_audio_stats(df: DataFrame) -> DataFrame:
-    """Arrow-batched real audio decode: :func:`_wav_decode` each payload
-    and emit format fields plus exact integer sample statistics — total
-    and absolute sums, peak amplitude, and the channel-0 zero-crossing
-    count (sign flips between consecutive frames, the classic cheap
+def decode_audio_stats(df: DataFrame, mime: str = "audio/x-wav") -> DataFrame:
+    """Arrow-batched real audio decode: :func:`decode_media` each payload
+    (WAV/PCM or, since round 13, fixed-subset FLAC per ``mime``) and emit
+    format fields plus exact integer sample statistics — total and
+    absolute sums, peak amplitude, and the channel-0 zero-crossing count
+    (sign flips between consecutive frames, the classic cheap
     voiced/unvoiced signal). All integers, so the oracle compare is exact.
 
     Scale notes: like image decode this is the payload-width reducer —
@@ -1044,7 +1089,7 @@ def decode_audio_stats(df: DataFrame) -> DataFrame:
                     "sum_samples", "sum_abs", "peak_abs", "zero_cross")
             out: dict[str, list] = {k: [] for k in cols}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                wav = _wav_decode(bytes(payload))
+                wav = decode_media(bytes(payload), mime)
                 s = wav["samples"].astype(np.int64)
                 ch0 = s[:, 0]
                 nonneg = ch0 >= 0

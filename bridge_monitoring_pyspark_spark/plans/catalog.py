@@ -270,13 +270,16 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # redundant in-window (ANN still witnessed by the PQ tier; the
     # brute-force cosine baseline stays oracle-checked from 51+).
     "video_frame_luma",
-    # round-8 addition, driver-verified from day one: baseline JPEG decode
-    # (plans/extras26.py) — Huffman entropy decode, restart markers,
-    # dequant+IDCT, 4:2:0 MCU reassembly, YCbCr->RGB, none of which the
-    # PNG/PNM decode paths exercise. Its slot was simhash_docs, redundant
-    # in-window (near-dup still witnessed by minhash-LSH, components,
-    # embedding-LSH and semdedup); simhash stays oracle-checked from 51+.
-    "multimodal_decode_jpeg",
+    # round-13 addition, driver-verified from day one (the r12 lesson:
+    # new headline code rotates in the round it ships): REAL compressed-
+    # audio decode — fixed-subset FLAC (operators/flac.py: bitstream
+    # walk, CRC-8/16, rice partitions, fixed predictors, stream MD5),
+    # plans/extras35.py. Its slot was multimodal_decode_jpeg, driver-green
+    # r8-r12 — a like-for-like swap within the real-decode family (image
+    # decode stays witnessed in-window by multimodal_decode_png and the
+    # quarantine entry, which routes JPEG payloads through the same
+    # decoder); the JPEG entry stays oracle-checked from position 51+.
+    "multimodal_decode_flac",
     # round-8 addition, driver-verified from day one: full iterative BPE
     # tokenizer training (operators/bpe.py, plans/extras26.py) — N rounds
     # of pair-count -> argmax -> fold-merge, the driver-loop-over-
@@ -358,6 +361,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "text_quality_stats",
     "dedup_exact_docs",
     "sequence_packing_stats",
+    "multimodal_decode_jpeg",
 )
 
 
@@ -407,6 +411,7 @@ def all_queries() -> dict[str, Query]:
         extras32,
         extras33,
         extras34,
+        extras35,
     )
 
     out: dict[str, Query] = {}
@@ -443,6 +448,7 @@ def all_queries() -> dict[str, Query]:
         extras32,
         extras33,
         extras34,
+        extras35,
     ):
         for q in mod.QUERIES:
             if q.name in out:

@@ -6,7 +6,8 @@ Round 7 made the image modality real (stdlib PNG decoder,
 the one audio container that needs no external library — RIFF chunk walk +
 ``fmt `` validation + PCM sample decode are pure stdlib/numpy — so the
 decode slot here is production-real, not a stub, while compressed codecs
-(mp3/flac/ogg) still raise ``NotImplementedError`` from ``decode_media``'s
+(mp3/ogg; FLAC became a real decoder in round 13 — plans/extras35.py,
+operators/flac.py) still raise ``NotImplementedError`` from ``decode_media``'s
 documented boundary (the container ships no librosa/ffmpeg).
 
 Two witnesses, both over a deterministic 16-bit PCM fixture clip per
