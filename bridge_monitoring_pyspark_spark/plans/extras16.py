@@ -439,10 +439,18 @@ def _multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-channel pixel sums. The fixture encodes the same closed-form
     pixel function as the PPM entry ((doc_id*7 + i*13) % 256), so the
     oracle replays it with unnest(generate_series(...)): a value
-    mismatch anywhere in inflate/unfilter shows up as a hash fail."""
+    mismatch anywhere in inflate/unfilter shows up as a hash fail.
+
+    Plan note (round 13): fan out to the session's parallelism before the
+    Python stages — the PNG encode/decode pair is real per-row CPU and
+    the single small parquet file otherwise pins the chain to one task
+    (4.2 s → 3.5 s at sf0.1; the full rationale and the measured A/B
+    across all media codecs live on the JPEG entry, plans/extras26.py)."""
     from ..operators.multimodal import decode_image_stats, with_png_payload
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return decode_image_stats(with_png_payload(d), mime="image/png").orderBy("doc_id")
 
 

@@ -34,10 +34,23 @@ def _multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode (with 0xFF00 unstuffing and RST resync), dequantization, IDCT
     and the JFIF color transform, and the stats stage emits width/height
     plus exact per-channel pixel sums. Payload-width reducer: a few longs
-    leave the decode stage regardless of image size."""
+    leave the decode stage regardless of image size.
+
+    Plan note (round 13): the id column fans out to the session's
+    parallelism BEFORE the Python stages — JPEG entropy-decode is real
+    per-row CPU and the documents table is one small parquet file, so
+    without the repartition the whole synth+decode chain runs as a single
+    task (measured 6.1 s → 1.9 s at sf0.1; same finding as the FLAC
+    entry, plans/extras35.py). At 100 TB the rule is the same: match
+    partition count to cluster width before a per-row-expensive Pandas
+    stage. The cheap decoders (WAV, Y4M) measured FASTER single-partition
+    — the shuffle costs more than their decode — so only the
+    CPU-expensive codecs carry the fan-out."""
     from ..operators.multimodal import decode_image_stats, with_jpeg_payload
 
-    d = load_table(spark, sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return (
         decode_image_stats(with_jpeg_payload(d), mime="image/jpeg")
         .orderBy("doc_id")
