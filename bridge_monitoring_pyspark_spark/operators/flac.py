@@ -109,7 +109,6 @@ class _BitReader:
     are kept because CRC spans are byte ranges."""
 
     def __init__(self, buf: bytes, pos: int = 0):
-        self.buf = buf
         self.bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
         self.ones = np.flatnonzero(self.bits)
         self.p = pos * 8
