@@ -1,4 +1,4 @@
-"""Dependency-free FLAC decoder (fixed-predictor subset) + fixture encoder.
+"""Dependency-free FLAC decoder (fixed + LPC predictors) + fixture encoder.
 
 Round 13 converts the last documented audio scope cut into real coverage:
 ``decode_media`` previously raised ``NotImplementedError`` for every
@@ -6,9 +6,11 @@ compressed audio codec because the container ships no librosa/ffmpeg. FLAC
 is the one compressed format whose full decode path needs nothing beyond
 stdlib + numpy, so — like PNG (round 7), WAV/Y4M (round 8) and JPEG
 (round 8) before it — the slot becomes a production-real decoder rather
-than a stub.
+than a stub. Round 14 adds the QLP/LPC subframe path (the profile
+real-world encoders emit almost always), so production FLAC no longer
+routes to quarantine.
 
-Subset decoded (the "fixed" profile every FLAC encoder can emit):
+Subset decoded:
 
 - stream header ``fLaC`` + metadata walk (STREAMINFO parsed; PADDING /
   VORBIS_COMMENT / anything else skipped via the last-block flag chain);
@@ -16,26 +18,35 @@ Subset decoded (the "fixed" profile every FLAC encoder can emit):
   sample-rate codes (incl. 8/16-bit follow-up encodings), UTF-8-coded
   frame numbers, CRC-8 header check (poly 0x07);
 - subframes: CONSTANT, VERBATIM, FIXED orders 0-4 (the standard
-  [1], [2,-1], [3,-3,1], [4,-6,4,-1] predictors), wasted-bits unary
-  prefix;
+  [1], [2,-1], [3,-3,1], [4,-6,4,-1] predictors), LPC orders 1-32
+  (4-bit QLP precision code, 5-bit signed quantization shift, signed
+  quantized coefficients, 64-bit-safe accumulator with arithmetic
+  right shift — round 14), wasted-bits unary prefix;
 - residuals: RICE (4-bit params) and RICE2 (5-bit params) partitioned
   coding, zigzag mapping, escape-to-verbatim partitions;
 - frame footer CRC-16 (poly 0x8005) over the whole byte-aligned frame;
 - whole-stream MD5 check against STREAMINFO's signature of the unencoded
   PCM (little-endian interleaved), so a silent mis-decode of ANY sample
-  fails loudly instead of poisoning downstream statistics.
+  fails loudly instead of poisoning downstream statistics;
+- trailing bytes after the final frame raise (a truncated-then-padded or
+  concatenated stream never decodes silently), and an unknown stream
+  length (STREAMINFO total_samples == 0, legal in FLAC) raises rather
+  than silently decoding to an empty result.
 
-LPC subframes (type ``1xxxxx``) raise ``ValueError`` with a clear message
-— they need the full 32-bit QLP path; the fixture encoder never emits
-them, and a real ingest would route such files to the decode-quarantine
-operator like any other unsupported payload.
+Remaining subset boundaries (each an explicit ``ValueError``, routed to
+the decode-quarantine operator like any other unsupported payload):
+stereo-decorrelated channel assignments (left/right/mid-side), variable
+blocking strategy, and sample widths other than 8/16 bits.
 
 The encoder exists to SYNTHESIZE deterministic fixtures (closed-form
 samples, same contract as ``multimodal.synth_wav``) and for round-trip
-tests; it picks the best fixed predictor per subframe, rice params per
-partition, and emits both partition orders 0 and 1 plus CONSTANT
-subframes where a channel is flat — so the decoder's paths are exercised
-by real bitstreams, not hand-built ones.
+tests; it picks the best predictor per subframe by exact coded-bit cost
+— CONSTANT for flat channels, FIXED orders 0-4, and (round 14)
+Levinson-Durbin LPC with quantized coefficients — plus best rice params
+per partition and both partition orders 0 and 1, so the decoder's paths
+are exercised by real bitstreams, not hand-built ones. ``mode="lpc"``
+forces the LPC path so fixture corpora exercise it deterministically
+even on signals where a fixed predictor would win the bit count.
 
 No counterpart in the 550-LoC reference (no binary columns at all there;
 reference scope: pipelines/bronze_ingest.py + silver_enrichment.py +
@@ -213,6 +224,9 @@ def _best_rice_param(zig: np.ndarray, maxparam: int) -> int:
     """Smallest-output rice parameter for a partition's zigzagged
     residuals (exact cost model: sum(q)+n·(1+param))."""
     best, best_bits = 0, None
+    if len(zig):
+        # cost(p) = sum(zig>>p) + n(1+p) is increasing once 2^p > max(zig)
+        maxparam = min(maxparam, int(zig.max()).bit_length() + 1)
     for p in range(maxparam):
         bits = int((zig >> p).sum()) + len(zig) * (1 + p)
         if best_bits is None or bits < best_bits:
@@ -220,14 +234,103 @@ def _best_rice_param(zig: np.ndarray, maxparam: int) -> int:
     return best
 
 
+def _rice_cost_bits(res: np.ndarray) -> int:
+    """Exact single-partition coded size of a residual vector under its
+    best rice parameter (4-bit param header included) — the cost model
+    the encoder ranks predictor candidates with."""
+    zig = _zigzag(res)
+    p = _best_rice_param(zig, 15)
+    return 4 + int((zig >> p).sum()) + len(zig) * (1 + p)
+
+
+def _lpc_coeff_orders(sig: np.ndarray, max_order: int) -> list[np.ndarray]:
+    """Levinson-Durbin over the Hann-windowed autocorrelation of ``sig``
+    (apodization before autocorrelation, as real FLAC encoders do — the
+    unwindowed estimate is badly edge-biased on short blocks and yields
+    predictors worse than FIXED even on pure sinusoids): returns the
+    float LPC coefficient vector for every order 1..max_order (one
+    recursion pass yields them all), predictor convention
+    ``pred[i] = sum_j a[j] * sig[i-1-j]``. Stops early if the prediction
+    error hits zero (perfectly predictable signal)."""
+    x = sig.astype(np.float64)
+    n = len(x)
+    max_order = min(max_order, n - 1)
+    if max_order < 1:
+        return []
+    x = x * np.hanning(n) if n > 2 else x
+    autoc = np.array(
+        [float(np.dot(x[: n - lag], x[lag:])) for lag in range(max_order + 1)]
+    )
+    if autoc[0] <= 0:
+        return []
+    err = autoc[0]
+    a = np.zeros(0)
+    out: list[np.ndarray] = []
+    for m in range(1, max_order + 1):
+        acc = autoc[m] - float(np.dot(a, autoc[m - 1 : 0 : -1])) if m > 1 else autoc[1]
+        k = acc / err
+        a = np.append(a - k * a[::-1], k)
+        err *= 1.0 - k * k
+        out.append(a.copy())
+        if err <= 0:
+            break
+    return out
+
+
+def _quantize_lpc(coefs: np.ndarray, precision: int) -> tuple[np.ndarray, int]:
+    """Quantize float LPC coefficients to signed ``precision``-bit ints
+    plus a right-shift (the QLP form the bitstream carries): the largest
+    shift in [0, 15] that keeps every rounded coefficient in range."""
+    qmax = (1 << (precision - 1)) - 1
+    qmin = -(1 << (precision - 1))
+    cmax = float(np.abs(coefs).max())
+    if cmax == 0.0:
+        return np.zeros(len(coefs), dtype=np.int64), 0
+    shift = 0
+    while shift < 15 and round(cmax * (1 << (shift + 1))) <= qmax:
+        shift += 1
+    q = np.clip(np.round(coefs * (1 << shift)), qmin, qmax).astype(np.int64)
+    return q, shift
+
+
+_LPC_PRECISION = 12  # QLP coefficient precision the fixture encoder emits
+
+
+def _lpc_residual(sig: np.ndarray, qcoef: np.ndarray, shift: int) -> np.ndarray:
+    """Exact integer LPC residual with the decoder's semantics:
+    ``res[i] = sig[i] - ((sum_j qcoef[j]*sig[i-1-j]) >> shift)`` —
+    numpy's ``>>`` on int64 is an arithmetic (floor) shift, matching the
+    decoder's Python-int shift. |q|<2^15, |sig|<2^15, order<=32 keeps the
+    accumulator well inside int64."""
+    order, n = len(qcoef), len(sig)
+    pred = np.zeros(n - order, dtype=np.int64)
+    for j, c in enumerate(qcoef):
+        pred += int(c) * sig[order - 1 - j : n - 1 - j]
+    return sig[order:] - (pred >> shift)
+
+
 def flac_encode(
-    samples: np.ndarray, sample_rate: int, bits: int = 16, blocksize: int = 32
+    samples: np.ndarray,
+    sample_rate: int,
+    bits: int = 16,
+    blocksize: int = 32,
+    mode: str = "auto",
+    max_lpc_order: int = 8,
 ) -> bytes:
     """Encode int PCM ``samples (n_frames, channels)`` into a spec-valid
-    fixed-predictor FLAC stream (independent channels). Fixture/test
-    encoder: correctness over ratio, but choices are real — best fixed
-    order 0-4 per subframe, CONSTANT for flat channels, best rice param
-    per partition, partition order 1 when the geometry allows."""
+    FLAC stream (independent channels). Fixture/test encoder: correctness
+    over ratio, but choices are real — per subframe the cheapest of
+    CONSTANT (flat channels), FIXED orders 0-4 and Levinson-Durbin LPC by
+    exact coded-bit cost, best rice param per partition, partition order
+    1 when the geometry allows.
+
+    ``mode``: ``"auto"`` picks fixed-vs-LPC by bit cost (ties to fixed —
+    cheaper decode), ``"fixed"`` never emits LPC (the round-13 behavior),
+    ``"lpc"`` forces LPC wherever one is computable (non-flat subframe
+    with blocksize > 1) so fixture corpora exercise the QLP decode path
+    deterministically even on signals where a fixed predictor wins."""
+    if mode not in ("auto", "fixed", "lpc"):
+        raise ValueError(f"mode must be auto|fixed|lpc, got {mode!r}")
     samples = np.asarray(samples, dtype=np.int64)
     if samples.ndim != 2:
         raise ValueError("samples must be (n_frames, channels)")
@@ -239,6 +342,11 @@ def flac_encode(
 
     if n == 0:
         raise ValueError("empty sample array")
+    if samples.min() < -32768 or samples.max() > 32767:
+        # out-of-range input would wrap mod 2^16 identically in the bit
+        # writer and the MD5's astype('<i2') — a silently corrupting
+        # round-trip — so reject it loudly instead
+        raise ValueError("samples out of 16-bit range [-32768, 32767]")
     md5 = hashlib.md5(
         samples.astype("<i2").tobytes()  # interleaved little-endian PCM
     ).digest()
@@ -294,7 +402,9 @@ def flac_encode(
                 body.write(0, 1)  # no wasted bits
                 body.write(int(sig[0]), bits)
                 continue
-            # best fixed order by exact residual-magnitude cost
+            # FIXED candidate: best order 0-4 by residual-magnitude proxy
+            # (one numpy op per order; exact bit cost only ranks the two
+            # finalists below — this is the encoder hot path at sf0.1)
             best_order, best_res, best_cost = 0, sig.copy(), None
             for order, coef in FIXED_COEFFS.items():
                 if order >= bs:
@@ -305,19 +415,56 @@ def flac_encode(
                 cost = int(np.abs(res).sum())
                 if best_cost is None or cost < best_cost:
                     best_order, best_res, best_cost = order, res, cost
-            body.write(0b001000 | best_order, 6)  # FIXED subframe
-            body.write(0, 1)  # no wasted bits
-            for v in sig[:best_order]:
-                body.write(int(v), bits)  # warmup samples
+            # LPC candidate: Levinson-Durbin recursion once, materialize
+            # quantized candidates at orders {1,2,4,max} only (libFLAC-
+            # style order-subset search), ranked by EXACT coded bits —
+            # warmup + QLP header (4+5+order*precision) + rice residual —
+            # so header overhead is priced in and small blocks don't get
+            # bloated high orders
+            lpc = None  # (coded_bits, order, qcoef, shift, res)
+            if mode != "fixed" and bs > 1:
+                top = min(max_lpc_order, bs - 1)
+                keep = {1, 2, 4, top}
+                for a in _lpc_coeff_orders(sig, top):
+                    if len(a) not in keep:
+                        continue
+                    qcoef, shift = _quantize_lpc(a, _LPC_PRECISION)
+                    res = _lpc_residual(sig, qcoef, shift)
+                    cost = (
+                        len(qcoef) * bits
+                        + 9 + len(qcoef) * _LPC_PRECISION
+                        + _rice_cost_bits(res)
+                    )
+                    if lpc is None or cost < lpc[0]:
+                        lpc = (cost, len(qcoef), qcoef, shift, res)
+            use_lpc = lpc is not None and mode == "lpc"
+            if lpc is not None and mode == "auto":
+                fixed_bits = best_order * bits + _rice_cost_bits(best_res)
+                use_lpc = lpc[0] < fixed_bits
+            if use_lpc:
+                _, order, qcoef, shift, res = lpc
+                body.write(0b100000 | (order - 1), 6)  # LPC subframe
+                body.write(0, 1)  # no wasted bits
+                for v in sig[:order]:
+                    body.write(int(v), bits)  # warmup samples
+                body.write(_LPC_PRECISION - 1, 4)
+                body.write(shift, 5)  # signed in the spec; ours is >= 0
+                for c in qcoef:
+                    body.write(int(c), _LPC_PRECISION)
+            else:
+                order, res = best_order, best_res
+                body.write(0b001000 | order, 6)  # FIXED subframe
+                body.write(0, 1)  # no wasted bits
+                for v in sig[:order]:
+                    body.write(int(v), bits)  # warmup samples
             # partitioned rice: order 1 when divisible and the first
             # partition keeps >=1 residual, else 0
-            p = 1 if bs % 2 == 0 and (bs // 2) > best_order else 0
+            p = 1 if bs % 2 == 0 and (bs // 2) > order else 0
             body.write(0b00, 2)  # RICE, 4-bit params
             body.write(p, 4)
-            res = best_res
             offsets = []
             for part in range(1 << p):
-                cnt = (bs >> p) - (best_order if part == 0 else 0)
+                cnt = (bs >> p) - (order if part == 0 else 0)
                 offsets.append(cnt)
             assert sum(offsets) == len(res)
             pos = 0
@@ -336,15 +483,19 @@ def flac_encode(
 
 
 def flac_decode(buf: bytes) -> dict:
-    """Decode a fixed-predictor-subset FLAC stream. Returns the same shape
-    as ``multimodal._wav_decode`` — ``{sample_rate, channels, bits,
-    n_frames, samples: np.ndarray(n_frames, channels) int32}`` — so the
-    audio statistics stage is codec-agnostic.
+    """Decode a FLAC stream (fixed + LPC predictors, independent
+    channels). Returns the same shape as ``multimodal._wav_decode`` —
+    ``{sample_rate, channels, bits, n_frames, samples:
+    np.ndarray(n_frames, channels) int32}`` plus ``subframe_types``, the
+    set of subframe kinds seen (``CONSTANT/VERBATIM/FIXED/LPC`` —
+    introspection for tests; the stats stage ignores it) — so the audio
+    statistics stage is codec-agnostic.
 
     Every integrity field the subset carries is VERIFIED, not skipped:
     frame sync + reserved bits, header CRC-8, footer CRC-16, subframe
-    zero-pad bit, padding bits, decoded-sample count vs STREAMINFO, and
-    the stream MD5 of the decoded PCM vs STREAMINFO's signature."""
+    zero-pad bit, padding bits, decoded-sample count vs STREAMINFO,
+    no-trailing-bytes after the final frame, and the stream MD5 of the
+    decoded PCM vs STREAMINFO's signature."""
     buf = bytes(buf)
     if len(buf) < 42 or buf[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
@@ -381,8 +532,13 @@ def flac_decode(buf: bytes) -> dict:
         raise ValueError(f"only 8/16-bit streams supported, got {bits}")
     if max_bs == 0:
         raise ValueError("max blocksize 0")
+    if total == 0:
+        # legal FLAC ("unknown length") but the count-driven decode loop
+        # below would silently return an empty result for it
+        raise ValueError("unknown total_samples (0) unsupported")
 
     chans: list[list[int]] = [[] for _ in range(channels)]
+    seen_types: set[str] = set()
     decoded = 0
     r = _BitReader(buf, pos)  # one unpack for the whole stream
     while r.byte < len(buf) and decoded < total:
@@ -444,8 +600,10 @@ def flac_decode(buf: bytes) -> dict:
             eff = bits - wasted
             if stype == 0b000000:  # CONSTANT
                 sig = [r.read_signed(eff)] * bs
+                seen_types.add("CONSTANT")
             elif stype == 0b000001:  # VERBATIM
                 sig = [r.read_signed(eff) for _ in range(bs)]
+                seen_types.add("VERBATIM")
             elif 0b001000 <= stype <= 0b001100:  # FIXED
                 order = stype & 0b000111
                 if order >= bs:
@@ -456,8 +614,28 @@ def flac_decode(buf: bytes) -> dict:
                 for v in res:
                     pred = sum(c * sig[-1 - j] for j, c in enumerate(coef))
                     sig.append(v + pred)
-            elif stype & 0b100000:
-                raise ValueError("LPC subframes unsupported (fixed subset)")
+                seen_types.add("FIXED")
+            elif stype & 0b100000:  # LPC, order 1-32
+                order = (stype & 0b011111) + 1
+                if order >= bs:
+                    raise ValueError("LPC order >= blocksize")
+                sig = [r.read_signed(eff) for _ in range(order)]
+                prec_code = r.read(4)
+                if prec_code == 0b1111:
+                    raise ValueError("invalid QLP precision code 0b1111")
+                prec = prec_code + 1
+                shift = r.read_signed(5)
+                if shift < 0:
+                    # reserved by the current spec (historic streams only)
+                    raise ValueError("negative QLP shift unsupported")
+                qcoef = [r.read_signed(prec) for _ in range(order)]
+                res = _read_residual(r, bs, order)
+                # Python ints: the QLP accumulator is exact at any width;
+                # >> on a negative int is the spec's arithmetic shift
+                for v in res:
+                    pred = sum(c * sig[-1 - j] for j, c in enumerate(qcoef))
+                    sig.append(v + (pred >> shift))
+                seen_types.add("LPC")
             else:
                 raise ValueError(f"reserved subframe type {stype:#08b}")
             chans[ch].extend(s << wasted for s in sig)
@@ -468,6 +646,12 @@ def flac_decode(buf: bytes) -> dict:
 
     if decoded != total:
         raise ValueError(f"decoded {decoded} samples, STREAMINFO says {total}")
+    if r.byte != len(buf):
+        # a truncated-then-padded or concatenated stream must not decode
+        # silently just because the sample count already added up
+        raise ValueError(
+            f"{len(buf) - r.byte} trailing bytes after the final frame"
+        )
     if any(len(c) != total for c in chans):
         raise ValueError("channel length mismatch")
     samples = np.array(chans, dtype=np.int32).T.copy()
@@ -483,6 +667,7 @@ def flac_decode(buf: bytes) -> dict:
         "bits": bits,
         "n_frames": total,
         "samples": samples,
+        "subframe_types": seen_types,
     }
 
 

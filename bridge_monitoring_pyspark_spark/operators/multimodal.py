@@ -299,8 +299,8 @@ def decode_media(payload: bytes, mime: str) -> object:
     grayscale) — dependency-free parse to ``{width, height, channels,
     pixels: np.ndarray(h, w, c)}`` — for PNG via the stdlib-only
     :func:`_png_decode`, for WAV/PCM audio via :func:`_wav_decode`, for
-    compressed FLAC audio via :func:`flac.flac_decode` (fixed-predictor
-    subset, round 13), and for Y4M video via :func:`_y4m_decode`. Other
+    compressed FLAC audio via :func:`flac.flac_decode` (fixed predictors
+    round 13, QLP/LPC round 14), and for Y4M video via :func:`_y4m_decode`. Other
     formats need PIL/librosa/ffmpeg, which this container doesn't ship,
     and raise from this same slot."""
     if mime == "image/png":
@@ -1035,7 +1035,13 @@ def synth_flac(doc_id: int) -> bytes:
     reconstruction or CRC/MD5 handling is a hash fail against the SAME
     closed form the uncompressed path already proves out. The blocksize
     varies with the id (16/32/48) so frame counts, partial final blocks
-    and both rice partition orders are all exercised across the corpus."""
+    and both rice partition orders are all exercised across the corpus;
+    odd ids encode with ``mode="lpc"`` (round 14) so half the corpus
+    carries real QLP/LPC subframes — quantized Levinson-Durbin
+    coefficients, precision/shift fields, integer predictor
+    reconstruction — while even ids keep the fixed-predictor profile.
+    The PCM (and therefore the oracle) is identical either way; only the
+    bitstream differs, and the stream MD5 gates both decode paths."""
     import numpy as np
 
     from .flac import flac_encode
@@ -1045,7 +1051,12 @@ def synth_flac(doc_id: int) -> bytes:
     rate = 8000 + 1000 * (doc_id % 5)
     i = np.arange(n_frames * channels, dtype=np.int64)
     pcm = (((doc_id * 31 + i * 97) % 4096) - 2048).reshape(n_frames, channels)
-    return flac_encode(pcm, rate, blocksize=16 * (1 + doc_id % 3))
+    return flac_encode(
+        pcm,
+        rate,
+        blocksize=16 * (1 + doc_id % 3),
+        mode="lpc" if doc_id % 2 else "auto",
+    )
 
 
 def with_flac_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

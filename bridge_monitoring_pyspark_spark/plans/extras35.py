@@ -1,4 +1,4 @@
-"""Round-13 extension: REAL compressed-audio decode (FLAC, fixed subset).
+"""Round-13 extension: REAL compressed-audio decode (FLAC; LPC in r14).
 
 Rounds 7-8 made images (PNG, JPEG), uncompressed audio (WAV/PCM) and video
 (Y4M) real through the multimodal decode slot; compressed audio stayed a
@@ -16,7 +16,10 @@ WAV entry's SQL verbatim — the compressed path has to reproduce, bit for
 bit, the statistics the uncompressed path already proves out, through a
 completely different byte-level pipeline. Blocksize varies 16/32/48 with
 the id so multi-frame streams, partial final blocks and both rice
-partition orders are all on the decode path.
+partition orders are all on the decode path. Round 14 adds the QLP/LPC
+subframe path (the profile real-world encoders emit almost always) and
+the fixture corpus now forces LPC on odd doc_ids — same PCM, same oracle,
+two predictor families through the same MD5 gate.
 
 Scale notes (100 TB): identical posture to the WAV entry — decode is the
 payload-width reducer (a few longs out per clip), per-clip work is
@@ -39,11 +42,13 @@ QUERIES: list[Query] = []
 
 def _multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL compressed-audio decode through the multimodal slot: a
-    deterministic fixed-predictor FLAC clip per document (synthesized by
-    the subset encoder in operators/flac.py) is decoded by flac_decode —
-    metadata walk, frame sync + CRC-8, rice residuals, fixed-predictor
-    reconstruction, frame CRC-16, stream MD5 — and the shared audio stats
-    stage emits exact integer sample statistics. The PCM inside equals
+    deterministic FLAC clip per document (synthesized by the encoder in
+    operators/flac.py — fixed predictors on even ids, quantized-LPC
+    subframes on odd ids since round 14) is decoded by flac_decode —
+    metadata walk, frame sync + CRC-8, rice residuals, fixed/QLP
+    predictor reconstruction, frame CRC-16, stream MD5 — and the shared
+    audio stats stage emits exact integer sample statistics. The PCM
+    inside equals
     synth_wav's closed form, so the oracle is the WAV entry's SQL
     unchanged: any defect in the compressed pipeline hash-fails against
     ground truth the uncompressed pipeline independently establishes.

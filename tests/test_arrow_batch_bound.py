@@ -51,9 +51,12 @@ def _make_observe():
 
 def test_native_byte_bound_defaults(spark):
     """The session (tuned or vanilla — these are Spark defaults, not
-    session.py settings) ships a 64 MB byte cap beside the 10k row cap."""
-    assert spark.conf.get(KEY_BYTES) == "67108864b"
-    assert spark.conf.get(KEY_ROWS) == "10000"
+    session.py settings) ships a 64 MB byte cap beside the 10k row cap.
+    Parsed numerically (the rendering of the default — '67108864b' today —
+    is not contractual across Spark versions; the byte count is)."""
+    raw = spark.conf.get(KEY_BYTES).lower().rstrip("b")
+    assert int(raw) == 64 * 1024 * 1024
+    assert int(spark.conf.get(KEY_ROWS)) == 10000
 
 
 def test_native_byte_bound_slices_wide_payloads(spark):

@@ -1,11 +1,12 @@
-"""FLAC fixed-subset codec (operators/flac.py) — round 13.
+"""FLAC codec (operators/flac.py) — round 13 fixed subset, round 14 LPC.
 
 The catalog witness (multimodal_decode_flac, plans/extras35.py)
 hash-checks decoded statistics against the WAV entry's closed-form oracle;
 these tests cover what the oracle can't see: exact round-trips across the
-subframe/partition space, every integrity check firing on corrupted
-streams, and the decoder-only paths (escape partitions, wasted bits) via
-hand-built spec-valid bitstreams."""
+subframe/partition space (fixed AND quantized-LPC predictors), every
+integrity check firing on corrupted streams, and the decoder-only paths
+(escape partitions, wasted bits, QLP field validation) via hand-built
+spec-valid bitstreams."""
 
 from __future__ import annotations
 
@@ -33,17 +34,55 @@ def _roundtrip(x: np.ndarray, rate: int = 8000, **kw) -> None:
 
 def test_roundtrip_random_mono_stereo():
     rng = np.random.default_rng(3)
-    for ch in (1, 2):
-        # 31/33 straddle the 32-frame blocksize: partial final blocks and
-        # single-frame streams both hit the 8-bit blocksize-follow path
-        for n in (5, 31, 32, 33, 121, 300):
-            _roundtrip(rng.integers(-2048, 2048, size=(n, ch)).astype(np.int64))
+    for mode in ("auto", "fixed", "lpc"):
+        for ch in (1, 2):
+            # 31/33 straddle the 32-frame blocksize: partial final blocks
+            # and single-frame streams both hit the 8-bit follow path
+            for n in (5, 31, 32, 33, 121, 300):
+                _roundtrip(
+                    rng.integers(-2048, 2048, size=(n, ch)).astype(np.int64),
+                    mode=mode,
+                )
 
 
 def test_roundtrip_smooth_signal_uses_higher_orders():
     t = np.arange(500)
     x = (1000 * np.sin(t / 9) + 200 * np.cos(t / 3)).astype(np.int64)
     _roundtrip(x.reshape(-1, 1))
+
+
+def test_lpc_roundtrips_and_wins_on_periodic_signal():
+    """Auto mode must actually CHOOSE LPC on the signal class it exists
+    for (periodic + noise — the Hann-windowed Levinson-Durbin coefficients
+    beat every fixed order by coded bits), and the forced-LPC stream must
+    round-trip bit-exactly through the quantized QLP path."""
+    rng = np.random.default_rng(7)
+    t = np.arange(2000)
+    x = (9000 * np.sin(t / 19) + 2000 * np.cos(t / 5)).astype(np.int64)
+    x = (x + rng.integers(-40, 40, len(x))).reshape(-1, 1)
+    auto = flac_encode(x, 8000, blocksize=256)
+    fixed = flac_encode(x, 8000, blocksize=256, mode="fixed")
+    forced = flac_encode(x, 8000, blocksize=256, mode="lpc")
+    assert len(auto) < len(fixed)  # LPC earned its slot by bit count
+    for enc in (auto, forced):
+        dec = flac_decode(enc)
+        assert (dec["samples"] == x).all()
+        assert "LPC" in dec["subframe_types"]
+
+
+def test_lpc_forced_mode_roundtrips_high_orders():
+    """max_lpc_order up to 12 with small blocksizes exercises warmup/
+    order geometry edges (order capped at blocksize-1)."""
+    rng = np.random.default_rng(9)
+    t = np.arange(300)
+    x = (3000 * np.sin(t / 7)).astype(np.int64)
+    x = (x + rng.integers(-10, 10, len(x))).reshape(-1, 1)
+    for bsz in (8, 16, 256):
+        dec = flac_decode(
+            flac_encode(x, 8000, blocksize=bsz, mode="lpc", max_lpc_order=12)
+        )
+        assert (dec["samples"] == x).all()
+        assert "LPC" in dec["subframe_types"]
 
 
 def test_roundtrip_constant_channel_and_extremes():
@@ -75,6 +114,7 @@ def test_fixture_matches_wav_fixture_exactly():
         synth_wav,
     )
 
+    types: set[str] = set()
     for doc_id in range(30):
         f = decode_media(synth_flac(doc_id), "audio/flac")
         w = decode_media(synth_wav(doc_id), "audio/x-wav")
@@ -84,6 +124,44 @@ def test_fixture_matches_wav_fixture_exactly():
             w["n_frames"],
         )
         assert (f["samples"] == w["samples"]).all()
+        types |= f["subframe_types"]
+    # the corpus must exercise BOTH predictor families with real
+    # bitstreams (odd ids force LPC, even ids pick fixed) — the oracle
+    # can't see the difference (same PCM), so pin it here
+    assert {"FIXED", "LPC"} <= types
+
+
+def test_unknown_total_samples_raises():
+    """total_samples == 0 is legal FLAC ('unknown length') but the
+    count-driven loop would silently decode it to an empty result."""
+    rng = np.random.default_rng(19)
+    enc = bytearray(flac_encode(rng.integers(-2048, 2048, (40, 1)), 8000))
+    # STREAMINFO total_samples: low 36 bits of bytes 21..25 (see _si)
+    enc[21] &= 0xF0
+    for off in range(22, 26):
+        enc[off] = 0
+    with pytest.raises(ValueError, match="total_samples"):
+        flac_decode(bytes(enc))
+
+
+def test_trailing_garbage_raises():
+    """A concatenated or padded-after-truncation stream must not decode
+    silently once the sample count happens to add up."""
+    rng = np.random.default_rng(23)
+    enc = flac_encode(rng.integers(-2048, 2048, (40, 1)), 8000)
+    flac_decode(enc)  # clean stream decodes
+    with pytest.raises(ValueError, match="trailing"):
+        flac_decode(enc + b"\x00\x00\x00")
+    with pytest.raises(ValueError, match="trailing"):
+        flac_decode(enc + enc[4:])  # concatenated second stream
+
+
+def test_encode_rejects_out_of_range_samples():
+    """Out-of-range input would wrap mod 2^16 identically in the bit
+    writer and the MD5 — a silently corrupting round-trip."""
+    for bad in (40000, -40000):
+        with pytest.raises(ValueError, match="range"):
+            flac_encode(np.array([[0], [bad]], dtype=np.int64), 8000)
 
 
 def test_bit_flips_caught_everywhere_the_format_protects():
@@ -98,16 +176,19 @@ def test_bit_flips_caught_everywhere_the_format_protects():
     bytes 21-41), and every frame byte (50+), where CRC-8 guards the
     header, CRC-16 the body, and MD5 the samples."""
     rng = np.random.default_rng(11)
-    enc = bytearray(flac_encode(rng.integers(-2048, 2048, (80, 1)), 8000))
     unprotected = set(range(8, 21)) | {42} | set(range(46, 50))
-    for off in range(4, len(enc)):
-        bad = bytearray(enc)
-        bad[off] ^= 0x40
-        if off in unprotected:
-            flac_decode(bytes(bad))  # must still decode (format limit)
-        else:
-            with pytest.raises(ValueError):
-                flac_decode(bytes(bad))
+    for mode in ("fixed", "lpc"):  # both predictor families, same guarantee
+        enc = bytearray(
+            flac_encode(rng.integers(-2048, 2048, (80, 1)), 8000, mode=mode)
+        )
+        for off in range(4, len(enc)):
+            bad = bytearray(enc)
+            bad[off] ^= 0x40
+            if off in unprotected:
+                flac_decode(bytes(bad))  # must still decode (format limit)
+            else:
+                with pytest.raises(ValueError):
+                    flac_decode(bytes(bad))
 
 
 def test_truncations_and_bad_magic_raise():
@@ -192,16 +273,87 @@ def test_wasted_bits_shift_decodes():
     assert dec["samples"].ravel().tolist() == vals
 
 
-def test_lpc_rejected_with_clear_error():
+def _lpc_frame(vals, warmup, qcoef, shift, precision=12, res_bits=7):
+    """Hand-build one LPC frame: warmup samples + QLP header + escaped
+    (verbatim) residuals, so the expected reconstruction is closed-form."""
+    order = len(qcoef)
     body = _BitWriter()
     body.write(0, 1)
-    body.write(0b100000, 6)  # LPC order 1
-    body.write(0, 1)
+    body.write(0b100000 | (order - 1), 6)  # LPC subframe
+    body.write(0, 1)  # no wasted bits
+    for v in warmup:
+        body.write(v, 16)
+    body.write(precision - 1, 4)
+    body.write(shift, 5)
+    for c in qcoef:
+        body.write(c, precision)
+    body.write(0b00, 2)  # RICE 4-bit params
+    body.write(0, 4)  # partition order 0
+    body.write(0b1111, 4)  # ESCAPE -> raw residuals
+    body.write(res_bits, 5)
+    for v in vals:
+        body.write(v, res_bits)
     body.align()
-    frame = _frame_header(4, 1) + body.bytes()
+    n = order + len(vals)
+    frame = _frame_header(n, 1) + body.bytes()
+    return frame + crc16(frame).to_bytes(2, "big")
+
+
+def test_lpc_handbuilt_reconstruction_exact():
+    """Decode a hand-built LPC subframe and check the QLP recurrence
+    sample by sample: sig[i] = res[i] + ((2*sig[i-1] - 1*sig[i-2]) >> 1)
+    with shift=1 halving the prediction (floor/arithmetic shift)."""
+    warmup, qcoef, shift = [10, 13], [2, -1], 1
+    res = [3, -2, 5, 0]
+    frame = _lpc_frame(res, warmup, qcoef, shift)
+    dec = flac_decode(_stream(_si(len(warmup) + len(res)), frame))
+    sig = list(warmup)
+    for v in res:
+        sig.append(v + ((2 * sig[-1] - sig[-2]) >> shift))
+    assert dec["samples"].ravel().tolist() == sig
+    assert dec["subframe_types"] == {"LPC"}
+
+
+def test_lpc_negative_prediction_uses_arithmetic_shift():
+    """A negative accumulator must floor-shift (-5 >> 1 == -3), not
+    truncate toward zero — the spec's arithmetic shift."""
+    warmup, qcoef, shift = [-5], [1], 1
+    res = [0]
+    frame = _lpc_frame(res, warmup, qcoef, shift)
+    dec = flac_decode(_stream(_si(2), frame))
+    assert dec["samples"].ravel().tolist() == [-5, -3]
+
+
+def test_lpc_invalid_precision_code_raises():
+    order = 1
+    body = _BitWriter()
+    body.write(0, 1)
+    body.write(0b100000 | (order - 1), 6)
+    body.write(0, 1)
+    body.write(7, 16)  # warmup
+    body.write(0b1111, 4)  # invalid precision code
+    body.align()
+    frame = _frame_header(2, 1) + body.bytes()
     frame += crc16(frame).to_bytes(2, "big")
-    with pytest.raises(ValueError, match="LPC"):
-        flac_decode(_stream(_si(4), frame))
+    with pytest.raises(ValueError, match="precision"):
+        flac_decode(_stream(_si(2), frame))
+
+
+def test_lpc_negative_shift_raises():
+    order = 1
+    body = _BitWriter()
+    body.write(0, 1)
+    body.write(0b100000 | (order - 1), 6)
+    body.write(0, 1)
+    body.write(7, 16)  # warmup
+    body.write(11, 4)  # precision 12
+    body.write(-1, 5)  # negative QLP shift (reserved)
+    body.write(1, 12)
+    body.align()
+    frame = _frame_header(2, 1) + body.bytes()
+    frame += crc16(frame).to_bytes(2, "big")
+    with pytest.raises(ValueError, match="shift"):
+        flac_decode(_stream(_si(2), frame))
 
 
 def test_md5_check_fires_on_forged_streaminfo():
