@@ -57,14 +57,15 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # join semantic stays witnessed in-window by this entry (same keys,
     # same tolerance rule) and the JVM-side union-window form stays
     # oracle-checked from position 51+.
-    # round-11 rotation (VERDICT r10 item 2): driver-verify the Python
-    # data source streaming ingest (plans/extras3.py), never inside the
-    # window before. Its slot was cogrouped_asof_merge, driver-green in
-    # r10 — the as-of semantic stays oracle-checked from position 51+
-    # (and asof_last_order_before_event was driver-green r3-r9), while
-    # applyInPandas/mapInPandas stay witnessed in-window by the semdedup
-    # and decoder entries.
-    "streaming_pyds_ingest",
+    # round-14 rotation (VERDICT r13 item 4): driver-verify Hive-style
+    # partition pruning on a daily-partitioned write+read (the S2 id's
+    # batch form, plans/extras4.py), never inside the window before and
+    # among the five most expensive never-driver-verified entries. Its
+    # slot was streaming_pyds_ingest, driver-green r11-r13 — streaming
+    # ingest stays witnessed in-window by streaming_json_ingest and
+    # streaming_silver_enriched, and the Python data source stays
+    # oracle-checked from position 51+.
+    "partition_pruned_daily",
     # round-11 rotation (VERDICT r10 item 2): driver-verify the streaming
     # session window (plans/streaming_q2.py), never inside the window
     # before. Its slot was session_window_stats, driver-green since r7 —
@@ -196,23 +197,25 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # generator stays oracle-checked from position 51+.
     "repetition_signals_gopher",
     "cms_heavy_hitters",
-    # round-7 rotation (VERDICT r6 item 8): driver-verify the new PNG
-    # decode entry, the timer-eviction stateful witness, and the exact
-    # distributed k-NN join. The three slots they take were redundant
-    # second witnesses (exact dedup keep-first ~ dedup_exact_docs;
-    # streaming parquet source ~ streaming_silver_enriched; language
-    # groupBy count ~ the A3/A4 witnesses), all still oracle-checked in
-    # full-catalog runs from position 51+.
-    "multimodal_decode_png",
+    # round-14 rotation (VERDICT r13 item 4): driver-verify small-file
+    # compaction (plans/extras16.py) — the write-side layout maintenance
+    # every large table needs — never inside the window before and the
+    # most expensive never-driver-verified entry (1.38 s). Its slot was
+    # multimodal_decode_png, driver-green r7-r13 — image decode stays
+    # witnessed in-window by multimodal_decode_quarantine (which routes
+    # PNG/JPEG payloads through the same decoders) and video_frame_luma,
+    # and the standalone PNG entry stays oracle-checked from 51+.
+    "small_file_compaction",
     "streaming_session_timeout_flush",
-    # round-8 addition, driver-verified from day one: hard-negative mining
-    # (operators/similarity.hard_negative_topk) — per-anchor most-similar
-    # wrong-label vectors with positive margin, the contrastive-training
-    # data builder. Its slot was knn_join_blocked, a like-for-like swap
-    # within the exact-kNN family (driver-verified green in r7; the
-    # distributed-grid join stays oracle-checked from position 51+, and
-    # exact-kNN stays witnessed in-window by this entry's scored scan).
-    "hard_negative_mining",
+    # round-14 rotation (VERDICT r13 item 4): driver-verify the
+    # partition-PRUNED IVF index probe (plans/extras29.py) — centroid
+    # routing through PartitionFilters, the 100 TB ANN read path — never
+    # inside the window before and among the five most expensive
+    # never-driver-verified entries. Its slot was hard_negative_mining,
+    # driver-green r8-r13 — ANN stays witnessed in-window by
+    # ann_ivf_index_append plus this entry, and the hard-negative miner
+    # stays oracle-checked from position 51+.
+    "ann_ivf_pruned_index",
     # round-9 rotation (VERDICT r8 item 5): driver-verify the incremental
     # IVF index append (plans/extras33.py) — frozen-centroid append +
     # partition-pruned probe, the nightly index-maintenance posture. Its
@@ -256,14 +259,15 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # in-window by bpe_train_merges, and PageRank stays oracle-checked
     # from position 51+.
     "multimodal_decode_quarantine",
-    # round-12 rotation (VERDICT r11 item 2): driver-verify the
-    # per-language BPE fertility metric (plans/extras26.py), never inside
-    # the window before and the 2nd most expensive never-verified entry.
-    # Its slot was multimodal_decode_wav, driver-green since r8 — the WAV
-    # decoder stays witnessed in-window by multimodal_decode_quarantine
-    # (which routes real WAV payloads through the same decode path), and
-    # the standalone WAV entry stays oracle-checked from position 51+.
-    "bpe_fertility_by_lang",
+    # round-14 rotation (VERDICT r13 item 4): driver-verify TF-IDF top
+    # terms (plans/llmdata.py family) — the corpus-statistic ranking the
+    # keyword/quality tooling builds on — never inside the window before
+    # and among the five most expensive never-driver-verified entries.
+    # Its slot was bpe_fertility_by_lang, driver-green r12-r13 — the
+    # tokenizer family stays witnessed in-window by bpe_train_merges and
+    # bpe_encode_topk, and the fertility metric stays oracle-checked
+    # from position 51+.
+    "tfidf_top_terms",
     # round-8 addition, driver-verified from day one: real Y4M video
     # decode with frame sampling (plans/extras25.py) — the video
     # modality's real-decode witness. Its slot was ann_cosine_topk,
@@ -288,15 +292,22 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # in-window twice (pagerank_transitions + this), and kmeans stays
     # oracle-checked from position 51+.
     "bpe_train_merges",
-    # round-8 addition, driver-verified from day one: hybrid sparse+dense
-    # retrieval with Reciprocal Rank Fusion (operators/retrieval.py) —
-    # BM25 + cosine rank lists fused 1/(60+rank); the first in-window
-    # witness of the retrieval/ranking family. Its slot was
-    # sliding_window_counts: T2 windows stay witnessed in-window by the
-    # session-window and tumbling-gold entries, and sliding stays
-    # oracle-checked from position 51+.
-    "hybrid_rrf_retrieval",
+    # round-14 rotation (VERDICT r13 item 4): driver-verify the
+    # standalone BM25 ranking (operators/retrieval.py) — the sparse leg
+    # on its own, with the full idf/tf saturation formula — never inside
+    # the window before and among the five most expensive
+    # never-driver-verified entries. Its slot was hybrid_rrf_retrieval,
+    # driver-green r8-r13 — a like-for-like swap within the retrieval
+    # family; the RRF fusion form stays oracle-checked from 51+.
+    "bm25_retrieval",
     # position 51+: operator ids above already covered elsewhere
+    # displaced by the round-14 rotation (all driver-green for 2+ rounds;
+    # capabilities keep in-window witnesses — see the r14 slot comments)
+    "streaming_pyds_ingest",
+    "hard_negative_mining",
+    "hybrid_rrf_retrieval",
+    "bpe_fertility_by_lang",
+    "multimodal_decode_png",
     "neardup_minhash_lsh_pairs",
     "semdedup_prune_kmeans",
     "substring_dedup_clean",
@@ -335,7 +346,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "cube_orders_status_priority",
     "intersect_building_urgent",
     "except_building_urgent",
-    "small_file_compaction",
     # displaced by the round-9 rotation; still oracle-checked every round
     "streaming_stateful_dedup",
     "token_count_estimate",
