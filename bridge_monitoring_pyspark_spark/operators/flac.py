@@ -33,10 +33,14 @@ Subset decoded:
   length (STREAMINFO total_samples == 0, legal in FLAC) raises rather
   than silently decoding to an empty result.
 
-Remaining subset boundaries (each an explicit ``ValueError``, routed to
-the decode-quarantine operator like any other unsupported payload):
-stereo-decorrelated channel assignments (left/right/mid-side), variable
-blocking strategy, and sample widths other than 8/16 bits.
+Stereo decorrelation (round 14, same pass as LPC): left-side,
+right-side and mid-side channel assignments decode — side channel at
+bits+1, exact integer reconstruction incl. the mid/side dropped-bit
+restore — and the encoder picks the assignment per frame by an order-2
+residual proxy, like a real encoder's -m switch. Remaining subset
+boundaries (each an explicit ``ValueError``, routed to the
+decode-quarantine operator like any other unsupported payload):
+variable blocking strategy and sample widths other than 8/16 bits.
 
 The encoder exists to SYNTHESIZE deterministic fixtures (closed-form
 samples, same contract as ``multimodal.synth_wav``) and for round-trip
@@ -296,6 +300,107 @@ def _quantize_lpc(coefs: np.ndarray, precision: int) -> tuple[np.ndarray, int]:
 _LPC_PRECISION = 12  # QLP coefficient precision the fixture encoder emits
 
 
+def _order2_proxy(sig: np.ndarray) -> int:
+    """Cheap channel-assignment discriminator: the order-2 fixed-predictor
+    residual magnitude (= second difference). Two numpy ops — used only to
+    pick the stereo decorrelation mode before the real subframe search
+    runs on the two winning channels."""
+    if len(sig) < 3:
+        return int(np.abs(sig).sum())
+    return int(np.abs(np.diff(sig, 2)).sum())
+
+
+def _encode_subframe(
+    sig: np.ndarray, bps: int, bs: int, mode: str, max_lpc_order: int
+) -> _BitWriter:
+    """Encode ONE subframe (zero-pad bit through residual) at ``bps`` bits
+    per sample (``bits + 1`` for a stereo side channel): CONSTANT for flat
+    signals, else the cheaper of the best FIXED order 0-4 and the best
+    quantized-LPC candidate."""
+    body = _BitWriter()
+    body.write(0, 1)  # zero pad
+    if bs > 1 and (sig == sig[0]).all():
+        body.write(0b000000, 6)  # CONSTANT
+        body.write(0, 1)  # no wasted bits
+        body.write(int(sig[0]), bps)
+        return body
+    # FIXED candidate: best order 0-4 by residual-magnitude proxy
+    # (one numpy op per order; exact bit cost only ranks the two
+    # finalists below — this is the encoder hot path at sf0.1)
+    best_order, best_res, best_cost = 0, sig.copy(), None
+    for order, coef in FIXED_COEFFS.items():
+        if order >= bs:
+            break
+        res = sig[order:].copy()
+        for j, c in enumerate(coef):
+            res = res - c * sig[order - 1 - j : bs - 1 - j]
+        cost = int(np.abs(res).sum())
+        if best_cost is None or cost < best_cost:
+            best_order, best_res, best_cost = order, res, cost
+    # LPC candidate: Levinson-Durbin recursion once, materialize
+    # quantized candidates at orders {1,2,4,max} only (libFLAC-
+    # style order-subset search), ranked by EXACT coded bits —
+    # warmup + QLP header (4+5+order*precision) + rice residual —
+    # so header overhead is priced in and small blocks don't get
+    # bloated high orders
+    lpc = None  # (coded_bits, order, qcoef, shift, res)
+    if mode != "fixed" and bs > 1:
+        top = min(max_lpc_order, bs - 1)
+        keep = {1, 2, 4, top}
+        for a in _lpc_coeff_orders(sig, top):
+            if len(a) not in keep:
+                continue
+            qcoef, shift = _quantize_lpc(a, _LPC_PRECISION)
+            res = _lpc_residual(sig, qcoef, shift)
+            cost = (
+                len(qcoef) * bps
+                + 9 + len(qcoef) * _LPC_PRECISION
+                + _rice_cost_bits(res)
+            )
+            if lpc is None or cost < lpc[0]:
+                lpc = (cost, len(qcoef), qcoef, shift, res)
+    use_lpc = lpc is not None and mode == "lpc"
+    if lpc is not None and mode == "auto":
+        fixed_bits = best_order * bps + _rice_cost_bits(best_res)
+        use_lpc = lpc[0] < fixed_bits
+    if use_lpc:
+        _, order, qcoef, shift, res = lpc
+        body.write(0b100000 | (order - 1), 6)  # LPC subframe
+        body.write(0, 1)  # no wasted bits
+        for v in sig[:order]:
+            body.write(int(v), bps)  # warmup samples
+        body.write(_LPC_PRECISION - 1, 4)
+        body.write(shift, 5)  # signed in the spec; ours is >= 0
+        for c in qcoef:
+            body.write(int(c), _LPC_PRECISION)
+    else:
+        order, res = best_order, best_res
+        body.write(0b001000 | order, 6)  # FIXED subframe
+        body.write(0, 1)  # no wasted bits
+        for v in sig[:order]:
+            body.write(int(v), bps)  # warmup samples
+    # partitioned rice: order 1 when divisible and the first
+    # partition keeps >=1 residual, else 0
+    p = 1 if bs % 2 == 0 and (bs // 2) > order else 0
+    body.write(0b00, 2)  # RICE, 4-bit params
+    body.write(p, 4)
+    offsets = []
+    for part in range(1 << p):
+        cnt = (bs >> p) - (order if part == 0 else 0)
+        offsets.append(cnt)
+    assert sum(offsets) == len(res)
+    pos = 0
+    for cnt in offsets:
+        zig = _zigzag(res[pos : pos + cnt])
+        pos += cnt
+        param = _best_rice_param(zig, 15)
+        body.write(param, 4)
+        for z in zig:
+            body.write_unary(int(z) >> param)
+            body.write(int(z) & ((1 << param) - 1), param)
+    return body
+
+
 def _lpc_residual(sig: np.ndarray, qcoef: np.ndarray, shift: int) -> np.ndarray:
     """Exact integer LPC residual with the decoder's semantics:
     ``res[i] = sig[i] - ((sum_j qcoef[j]*sig[i-1-j]) >> shift)`` —
@@ -374,6 +479,30 @@ def flac_encode(
     for fi, start in enumerate(range(0, n, blocksize)):
         block = samples[start : start + blocksize]
         bs = len(block)
+        # channel assignment: stereo frames pick per-frame among
+        # independent / left-side / right-side / mid-side by the cheap
+        # order-2 proxy (the real subframe search then runs only on the
+        # two winning channels); mode="fixed" keeps the round-13
+        # independent-channels profile
+        if channels == 2 and mode != "fixed" and bs > 1:
+            left, right = block[:, 0], block[:, 1]
+            mid, side = (left + right) >> 1, left - right
+            pl, pr = _order2_proxy(left), _order2_proxy(right)
+            pm, ps = _order2_proxy(mid), _order2_proxy(side)
+            assign, _ = min(
+                ((0b0001, pl + pr), (0b1000, pl + ps),
+                 (0b1001, ps + pr), (0b1010, pm + ps)),
+                key=lambda t: t[1],
+            )
+            subs = {
+                0b0001: [(left, bits), (right, bits)],
+                0b1000: [(left, bits), (side, bits + 1)],
+                0b1001: [(side, bits + 1), (right, bits)],
+                0b1010: [(mid, bits), (side, bits + 1)],
+            }[assign]
+        else:
+            assign = channels - 1
+            subs = [(block[:, ch], bits) for ch in range(channels)]
         hdr = _BitWriter()
         hdr.write(0b11111111111110, 14)
         hdr.write(0, 1)  # reserved
@@ -384,7 +513,7 @@ def flac_encode(
             code, follow = (0b0110, bs - 1) if bs <= 256 else (0b0111, bs - 1)
         hdr.write(code, 4)
         hdr.write(0b0000, 4)  # sample rate: from STREAMINFO
-        hdr.write(channels - 1, 4)  # independent channels
+        hdr.write(assign, 4)  # channel count / stereo decorrelation mode
         hdr.write(0b100, 3)  # 16 bits per sample, explicit
         hdr.write(0, 1)  # reserved
         hdr.align()
@@ -394,88 +523,9 @@ def flac_encode(
         head += bytes([crc8(head)])
 
         body = _BitWriter()
-        for ch in range(channels):
-            sig = block[:, ch]
-            body.write(0, 1)  # zero pad
-            if bs > 1 and (sig == sig[0]).all():
-                body.write(0b000000, 6)  # CONSTANT
-                body.write(0, 1)  # no wasted bits
-                body.write(int(sig[0]), bits)
-                continue
-            # FIXED candidate: best order 0-4 by residual-magnitude proxy
-            # (one numpy op per order; exact bit cost only ranks the two
-            # finalists below — this is the encoder hot path at sf0.1)
-            best_order, best_res, best_cost = 0, sig.copy(), None
-            for order, coef in FIXED_COEFFS.items():
-                if order >= bs:
-                    break
-                res = sig[order:].copy()
-                for j, c in enumerate(coef):
-                    res = res - c * sig[order - 1 - j : bs - 1 - j]
-                cost = int(np.abs(res).sum())
-                if best_cost is None or cost < best_cost:
-                    best_order, best_res, best_cost = order, res, cost
-            # LPC candidate: Levinson-Durbin recursion once, materialize
-            # quantized candidates at orders {1,2,4,max} only (libFLAC-
-            # style order-subset search), ranked by EXACT coded bits —
-            # warmup + QLP header (4+5+order*precision) + rice residual —
-            # so header overhead is priced in and small blocks don't get
-            # bloated high orders
-            lpc = None  # (coded_bits, order, qcoef, shift, res)
-            if mode != "fixed" and bs > 1:
-                top = min(max_lpc_order, bs - 1)
-                keep = {1, 2, 4, top}
-                for a in _lpc_coeff_orders(sig, top):
-                    if len(a) not in keep:
-                        continue
-                    qcoef, shift = _quantize_lpc(a, _LPC_PRECISION)
-                    res = _lpc_residual(sig, qcoef, shift)
-                    cost = (
-                        len(qcoef) * bits
-                        + 9 + len(qcoef) * _LPC_PRECISION
-                        + _rice_cost_bits(res)
-                    )
-                    if lpc is None or cost < lpc[0]:
-                        lpc = (cost, len(qcoef), qcoef, shift, res)
-            use_lpc = lpc is not None and mode == "lpc"
-            if lpc is not None and mode == "auto":
-                fixed_bits = best_order * bits + _rice_cost_bits(best_res)
-                use_lpc = lpc[0] < fixed_bits
-            if use_lpc:
-                _, order, qcoef, shift, res = lpc
-                body.write(0b100000 | (order - 1), 6)  # LPC subframe
-                body.write(0, 1)  # no wasted bits
-                for v in sig[:order]:
-                    body.write(int(v), bits)  # warmup samples
-                body.write(_LPC_PRECISION - 1, 4)
-                body.write(shift, 5)  # signed in the spec; ours is >= 0
-                for c in qcoef:
-                    body.write(int(c), _LPC_PRECISION)
-            else:
-                order, res = best_order, best_res
-                body.write(0b001000 | order, 6)  # FIXED subframe
-                body.write(0, 1)  # no wasted bits
-                for v in sig[:order]:
-                    body.write(int(v), bits)  # warmup samples
-            # partitioned rice: order 1 when divisible and the first
-            # partition keeps >=1 residual, else 0
-            p = 1 if bs % 2 == 0 and (bs // 2) > order else 0
-            body.write(0b00, 2)  # RICE, 4-bit params
-            body.write(p, 4)
-            offsets = []
-            for part in range(1 << p):
-                cnt = (bs >> p) - (order if part == 0 else 0)
-                offsets.append(cnt)
-            assert sum(offsets) == len(res)
-            pos = 0
-            for cnt in offsets:
-                zig = _zigzag(res[pos : pos + cnt])
-                pos += cnt
-                param = _best_rice_param(zig, 15)
-                body.write(param, 4)
-                for z in zig:
-                    body.write_unary(int(z) >> param)
-                    body.write(int(z) & ((1 << param) - 1), param)
+        for sig, bps in subs:
+            sub = _encode_subframe(sig, bps, bs, mode, max_lpc_order)
+            body.write(sub.acc, sub.nbits)
         body.align()
         frame = head + body.bytes()
         out += frame + crc16(frame).to_bytes(2, "big")
@@ -555,13 +605,20 @@ def flac_decode(buf: bytes) -> dict:
         ss_code = r.read(3)
         if r.read(1) != 0:
             raise ValueError("reserved frame-header bit set")
-        if ch_assign > 0b0111:
+        if ch_assign <= 0b0111:  # independent channels
+            if ch_assign + 1 != channels:
+                raise ValueError("frame channel count != STREAMINFO")
+        elif ch_assign in (0b1000, 0b1001, 0b1010):  # L/S, R/S, M/S
+            if channels != 2:
+                raise ValueError(
+                    "stereo decorrelation in a non-2-channel stream"
+                )
+        else:
             raise ValueError(
-                "stereo-decorrelated channel assignments unsupported "
-                "(independent channels only)"
+                f"reserved channel assignment {ch_assign:#06b}"
             )
-        if ch_assign + 1 != channels:
-            raise ValueError("frame channel count != STREAMINFO")
+        # the side channel of a decorrelated pair carries one extra bit
+        side_sub = {0b1000: 1, 0b1001: 0, 0b1010: 1}.get(ch_assign, -1)
         _read_utf8_frame_number(r)
         if bs_code == 0b0110:
             bs = r.read(8) + 1
@@ -590,6 +647,7 @@ def flac_decode(buf: bytes) -> dict:
         if crc8(buf[frame_start : r.byte]) != r.read(8):
             raise ValueError("frame header CRC-8 mismatch")
 
+        frame_sigs: list[list[int]] = []
         for ch in range(channels):
             if r.read(1) != 0:
                 raise ValueError("subframe zero-pad bit set")
@@ -597,7 +655,7 @@ def flac_decode(buf: bytes) -> dict:
             wasted = 0
             if r.read(1):
                 wasted = 1 + r.read_unary()
-            eff = bits - wasted
+            eff = bits + (1 if ch == side_sub else 0) - wasted
             if stype == 0b000000:  # CONSTANT
                 sig = [r.read_signed(eff)] * bs
                 seen_types.add("CONSTANT")
@@ -638,7 +696,28 @@ def flac_decode(buf: bytes) -> dict:
                 seen_types.add("LPC")
             else:
                 raise ValueError(f"reserved subframe type {stype:#08b}")
-            chans[ch].extend(s << wasted for s in sig)
+            frame_sigs.append([s << wasted for s in sig])
+        # undo stereo decorrelation (after wasted-bit restoration)
+        if ch_assign == 0b1000:  # left/side: right = left - side
+            left, side = frame_sigs
+            frame_sigs = [left, [l - s for l, s in zip(left, side)]]
+            seen_types.add("LEFT_SIDE")
+        elif ch_assign == 0b1001:  # right/side: left = right + side
+            side, right = frame_sigs
+            frame_sigs = [[rr + s for rr, s in zip(right, side)], right]
+            seen_types.add("RIGHT_SIDE")
+        elif ch_assign == 0b1010:  # mid/side
+            mid, side = frame_sigs
+            # m = (mid<<1) | (side&1) restores the bit the encoder's
+            # (l+r)>>1 dropped; then l = (m+s)>>1, r = (m-s)>>1
+            ms = [(m << 1) | (s & 1) for m, s in zip(mid, side)]
+            frame_sigs = [
+                [(m + s) >> 1 for m, s in zip(ms, side)],
+                [(m - s) >> 1 for m, s in zip(ms, side)],
+            ]
+            seen_types.add("MID_SIDE")
+        for ch in range(channels):
+            chans[ch].extend(frame_sigs[ch])
         r.align()
         if crc16(buf[frame_start : r.byte]) != r.read(16):
             raise ValueError("frame footer CRC-16 mismatch")

@@ -70,6 +70,58 @@ def test_lpc_roundtrips_and_wins_on_periodic_signal():
         assert "LPC" in dec["subframe_types"]
 
 
+def test_stereo_decorrelation_roundtrips_and_wins():
+    """Mid-side must WIN the per-frame assignment choice on correlated
+    stereo (the real-world shape) and beat independent coding by size;
+    one-sided shapes must route to left-side / right-side; every
+    reconstruction is exact, including odd sums through the mid/side
+    dropped-bit restore and full-range values through the 17-bit side
+    channel."""
+    rng = np.random.default_rng(31)
+    t = np.arange(1000)
+    base = (6000 * np.sin(t / 17)).astype(np.int64)
+    corr = np.stack(
+        [base + rng.integers(-30, 30, len(t)),
+         base + rng.integers(-30, 30, len(t))], axis=1)
+    auto = flac_encode(corr, 8000, blocksize=128)
+    indep = flac_encode(corr, 8000, blocksize=128, mode="fixed")
+    d = flac_decode(auto)
+    assert (d["samples"] == corr).all()
+    assert "MID_SIDE" in d["subframe_types"]
+    assert len(auto) < len(indep)
+    # left smooth / right noise -> left/side never helps, LEFT_SIDE means
+    # side = L - R which is noise-sized; the proxy picks by cost, so just
+    # assert exactness plus that SOME decorrelated frame appeared per shape
+    ls = np.stack([base, rng.integers(-2048, 2048, len(t))], axis=1)
+    dls = flac_decode(flac_encode(ls, 8000, blocksize=128))
+    assert (dls["samples"] == ls).all()
+    rs = np.stack([rng.integers(-2048, 2048, len(t)), base], axis=1)
+    drs = flac_decode(flac_encode(rs, 8000, blocksize=128))
+    assert (drs["samples"] == rs).all()
+    assert "LEFT_SIDE" in dls["subframe_types"]
+    assert "RIGHT_SIDE" in drs["subframe_types"]
+    # odd sums (mid drops a bit) and 16-bit extremes (side needs 17 bits)
+    odd = np.array([[3, 0], [-3, 0], [1, 2], [-1, -2]] * 25, dtype=np.int64)
+    assert (flac_decode(flac_encode(odd, 8000))["samples"] == odd).all()
+    ext = np.array(
+        [[-32768, 32767], [32767, -32768], [0, -1]] * 40, dtype=np.int64)
+    assert (flac_decode(flac_encode(ext, 8000))["samples"] == ext).all()
+
+
+def test_stereo_fixture_mix_carries_decorrelated_frames():
+    from bridge_monitoring_pyspark_spark.operators.multimodal import (
+        decode_media,
+        synth_flac,
+    )
+
+    types: set[str] = set()
+    for doc_id in range(1, 30, 2):  # odd ids are the stereo clips
+        types |= decode_media(synth_flac(doc_id), "audio/flac")[
+            "subframe_types"
+        ]
+    assert "MID_SIDE" in types  # the synth channels are highly correlated
+
+
 def test_lpc_forced_mode_roundtrips_high_orders():
     """max_lpc_order up to 12 with small blocksizes exercises warmup/
     order geometry edges (order capped at blocksize-1)."""
@@ -177,10 +229,18 @@ def test_bit_flips_caught_everywhere_the_format_protects():
     header, CRC-16 the body, and MD5 the samples."""
     rng = np.random.default_rng(11)
     unprotected = set(range(8, 21)) | {42} | set(range(46, 50))
-    for mode in ("fixed", "lpc"):  # both predictor families, same guarantee
-        enc = bytearray(
-            flac_encode(rng.integers(-2048, 2048, (80, 1)), 8000, mode=mode)
-        )
+    # all predictor families + a stereo (decorrelated) stream, same
+    # guarantee: frames are fully CRC-covered whatever the coding
+    streams = [
+        flac_encode(rng.integers(-2048, 2048, (80, 1)), 8000, mode="fixed"),
+        flac_encode(rng.integers(-2048, 2048, (80, 1)), 8000, mode="lpc"),
+        flac_encode(
+            np.repeat(rng.integers(-2048, 2048, (80, 1)), 2, axis=1)
+            + rng.integers(-9, 9, (80, 2)),
+            8000,
+        ),
+    ]
+    for enc in map(bytearray, streams):
         for off in range(4, len(enc)):
             bad = bytearray(enc)
             bad[off] ^= 0x40
