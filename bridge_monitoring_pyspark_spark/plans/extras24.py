@@ -93,7 +93,23 @@ def _semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _prune_survivors(m)
 
 
-_SWEEP_BLOCK = 2048  # row-block size of the per-cluster cosine matmul
+_SWEEP_BLOCK = 2048  # row-block CAP of the per-cluster cosine matmul
+# Per-task byte budget for one sweep block's similarity temporaries
+# (the (block, e) float64 matmul output plus its int64 quantized copy,
+# 16 bytes per cell). Same auto-sizing convention as
+# similarity.cosine_pairs_blocked: the block SHRINKS as the cluster
+# grows, so per-task sims memory is ~flat in cluster size instead of
+# linear — the fixed block=2048 was what made the uncapped decade-3
+# sweep (clusters ~250k members) exceed worker memory (SCALING.md r11).
+# Block size never changes results (the blocked sweep is exact), only
+# the BLAS call granularity.
+_SWEEP_BYTES = 512 << 20
+
+
+def _sweep_block(c: int) -> int:
+    """Row-block size for a c-member cluster: the fixed 2048 cap while it
+    fits the byte budget, else the largest block that does (floor 64)."""
+    return max(64, min(_SWEEP_BLOCK, _SWEEP_BYTES // (max(c, 1) * 16)))
 
 
 def _prune_survivors(
@@ -114,10 +130,13 @@ def _prune_survivors(
     within-cluster pairs through the interpreted higher-order-function
     cosine — after the assignment moved to BLAS (this round's first
     fix), that sweep was the whole remaining decade-3 cost (1091 s of
-    the sf100 run). Memory per task is bounded at (block x cluster)
-    int64 regardless of cluster size; a pathologically skewed cluster is
-    the documented failure mode and is capped upstream at 100 TB (split
-    on a secondary hash)."""
+    the sf100 run). Sims temporaries per task are bounded at
+    _SWEEP_BYTES via the auto-sized block (round 14; the fixed 2048
+    block made them linear in cluster size, the witnessed d3 OOM), so
+    the remaining per-task growth is the c x dim member matrix itself —
+    linear, and what the capped variants below bound with the upstream
+    split; a pathologically skewed cluster still wants that cap at
+    100 TB."""
     from ..operators.similarity import _normalized_batch, _quantize_half_up
 
     tau_q = int(round(tau * 1_000_000))
@@ -128,9 +147,10 @@ def _prune_survivors(
         pdf = pdf.sort_values("vec_id", ignore_index=True)
         unit = _normalized_batch(pdf["embedding"])
         c = len(pdf)
+        blk = _sweep_block(c)
         drop = np.zeros(c, dtype=bool)
-        for s in range(0, c, _SWEEP_BLOCK):
-            e = min(s + _SWEEP_BLOCK, c)
+        for s in range(0, c, blk):
+            e = min(s + blk, c)
             q = _quantize_half_up(unit[s:e] @ unit[:e].T)  # (block, e)
             # row b = s+i may only be dropped by columns a < b
             mask = np.arange(e)[None, :] < np.arange(s, e)[:, None]
