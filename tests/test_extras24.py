@@ -401,3 +401,29 @@ def test_semdedup_capped_recall_planted_tau09(spark, tmp_path):
     assert recall["hash"] >= 0.10
     assert recall["proj"] >= 0.55
     assert recall["proj"] >= recall["hash"] + 0.2
+
+
+def test_sweep_block_auto_sizing():
+    """The sweep's row block shrinks with cluster size so a task's
+    similarity temporaries (block x members x 16 bytes: float64 matmul
+    output + int64 quantized copy) stay under _SWEEP_BYTES — the fixed
+    2048 block was what made the uncapped decade-3 sweep exceed worker
+    memory. Block size never affects results, only BLAS granularity."""
+    from bridge_monitoring_pyspark_spark.plans.extras24 import (
+        _SWEEP_BLOCK,
+        _SWEEP_BYTES,
+        _sweep_block,
+    )
+
+    assert _sweep_block(0) == _SWEEP_BLOCK  # degenerate: budget irrelevant
+    assert _sweep_block(2_048) == _SWEEP_BLOCK  # small cluster: full block
+    # largest c that still affords the full 2048 block
+    c_edge = _SWEEP_BYTES // (_SWEEP_BLOCK * 16)
+    assert _sweep_block(c_edge) == _SWEEP_BLOCK
+    assert _sweep_block(c_edge + 1) < _SWEEP_BLOCK
+    # the witnessed decade-3 shape: ~250k-member clusters
+    assert _sweep_block(250_000) == _SWEEP_BYTES // (250_000 * 16)
+    for c in (2_048, c_edge + 1, 250_000, 10**9):
+        blk = _sweep_block(c)
+        assert blk >= 64  # floor: never degrade to per-row GEMV
+        assert blk == 64 or blk * c * 16 <= _SWEEP_BYTES
