@@ -137,7 +137,7 @@ def _prune_survivors(
     linear, and what the capped variants below bound with the upstream
     split; a pathologically skewed cluster still wants that cap at
     100 TB."""
-    from ..operators.similarity import _normalized_batch, _quantize_half_up
+    from ..operators.similarity import _normalized_batch
 
     tau_q = int(round(tau * 1_000_000))
     id_t = dict(m.dtypes)["vec_id"]
@@ -151,10 +151,24 @@ def _prune_survivors(
         drop = np.zeros(c, dtype=bool)
         for s in range(0, c, blk):
             e = min(s + blk, c)
-            q = _quantize_half_up(unit[s:e] @ unit[:e].T)  # (block, e)
-            # row b = s+i may only be dropped by columns a < b
-            mask = np.arange(e)[None, :] < np.arange(s, e)[:, None]
-            drop[s:e] = ((q >= tau_q) & mask).any(axis=1)
+            sims = unit[s:e] @ unit[:e].T  # (block, e) float64
+            # Threshold without materializing the int64 quantized copy:
+            # for integer tau_q >= 1, _quantize_half_up(sims) >= tau_q
+            # <=> floor(|f| + 0.5) >= tau_q on the positive branch
+            # <=> f + 0.5 >= tau_q (floor(x) >= n <=> x >= n for int n;
+            # f <= 0 gives f + 0.5 <= 0.5 < tau_q, matching its negative
+            # quantization) -- bit-exact, same float ops, ~half the
+            # per-block passes of quantize-then-compare.
+            np.multiply(sims, 1_000_000.0, out=sims)
+            np.add(sims, 0.5, out=sims)
+            hit = sims >= tau_q  # bool (block, e)
+            # row b = s+i may only be dropped by columns a < b: every
+            # column < s qualifies outright; the diagonal block needs
+            # the strict lower triangle
+            tri = np.arange(e - s)[None, :] < np.arange(e - s)[:, None]
+            drop[s:e] = hit[:, :s].any(axis=1) | (hit[:, s:] & tri).any(
+                axis=1
+            )
         return pdf.loc[~drop, ["vec_id", "cid"]].rename(
             columns={"cid": "cluster_id"}
         )
