@@ -25,7 +25,7 @@ No counterpart in the 550-LoC reference.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.dedup import shingle_postings
@@ -76,14 +76,39 @@ def _bloom_shingle_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits against the even-doc history bitmap, exact-join truth labels,
     and the false-positive residue. sum(n_bloom_hits) >= sum(n_true_dups)
     always (no false negatives — pytested); the gap is the m/n/k
-    tradeoff, sized here to keep FPs visible but rare."""
+    tradeoff, sized here to keep FPs visible but rare.
+
+    Round-14 probe-side restructure (same bits, 3 fewer shuffles + one
+    fewer corpus pass at sf0.1, 4.9 s -> ~2.6 s):
+
+    * The k=5 probe positions are INLINE COLUMNS per gram row, not a 5x
+      explode + groupBy(doc_id, gram) min() — the per-gram AND of 5 hit
+      flags is the same value min() re-derived, without shuffling 5x the
+      probe rows.
+    * The bitmap (4096 words — O(m), fixed) collapses to ONE row holding
+      a wid->word map, broadcast-joined to the probe; each position reads
+      its word with try_element_at instead of a per-position join.
+      Missing wid (word NULL before / NULL lookup now) probes to 0 both
+      ways.
+    * The truth label comes from a max() window over the gram key (is_dup
+      = any even doc holds the gram) instead of a probe x hist_grams
+      shuffle join — one exchange where the join had two.
+    * The shingle pass (posexplode + window-lead, the expensive subtree)
+      was evaluated three times — history branch, probe branch, label
+      join; a lazy localCheckpoint materializes it once per run. Lazy,
+      not eager: build() must stay plan-only (the plan-audit contract),
+      and RDD-level blocks are per-build, so bench reruns still recompute
+      from parquet (no cross-run caching).
+    """
     d = load_table(spark, sf_dir, "documents")
     # shingle_postings, not a per-doc HOF shingle array: the posexplode +
     # window-lead form is fully codegen'd; the interpreted transform/
     # concat_ws array form measured 16s for this explode alone at sf0.1
     # (the exact trap operators/dedup.py's docstring warns about)
-    grams = shingle_postings(d, "doc_id", "text", BLOOM_NGRAM).select(
-        F.col("doc").alias("doc_id"), F.col("shingle").alias("gram")
+    grams = (
+        shingle_postings(d, "doc_id", "text", BLOOM_NGRAM)
+        .select(F.col("doc").alias("doc_id"), F.col("shingle").alias("gram"))
+        .localCheckpoint(eager=False)
     )
     hist_grams = grams.where(F.col("doc_id") % 2 == 0).select("gram").distinct()
     bitmap = (
@@ -91,26 +116,56 @@ def _bloom_shingle_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("wid")
         .agg(F.bit_or("mask").alias("word"))
     )
-    inc = grams.where(F.col("doc_id") % 2 == 1)  # postings are distinct already
-    probe = (
-        _positions(inc)
-        .join(F.broadcast(bitmap), "wid", "left")
-        .withColumn(
-            "hit",
-            F.when(
-                F.col("word").isNotNull()
-                & (F.col("word").bitwiseAND(F.col("mask")) == F.col("mask")),
-                F.lit(1),
-            ).otherwise(F.lit(0)),
-        )
-        .groupBy("doc_id", "gram")
-        .agg(F.min("hit").alias("bloom_hit"))
+    # O(m) words -> one broadcastable map row: the probe's k lookups stay
+    # row-local, so the probe side never shuffles on wid at any corpus size
+    bitmap_row = bitmap.agg(
+        F.map_from_entries(F.collect_list(F.struct("wid", "word"))).alias("__bm")
     )
-    labeled = probe.join(
-        hist_grams.withColumn("is_dup", F.lit(1)), "gram", "left"
-    ).fillna(0, subset=["is_dup"])
+    # is_dup = gram seen in any even doc — max() over the gram key replaces
+    # the left join against hist_grams (postings are distinct per doc, so
+    # one row per (odd doc, gram) survives, exactly the old probe rows)
+    flagged = (
+        grams.withColumn(
+            "is_dup",
+            F.max(
+                F.when(F.col("doc_id") % 2 == 0, F.lit(1)).otherwise(F.lit(0))
+            ).over(Window.partitionBy("gram")),
+        )
+        .where(F.col("doc_id") % 2 == 1)
+    )
+    probed = flagged.join(F.broadcast(bitmap_row))
+    hit_cond = None
+    for j in range(BLOOM_K):
+        # same md5-derived position arithmetic as _positions, j a literal
+        pos = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.encode(
+                            F.concat(F.lit(f"{j}:"), F.col("gram")), "UTF-8"
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % BLOOM_M_BITS
+        )
+        probed = probed.withColumn(f"__p{j}", pos)
+        word = F.coalesce(
+            F.try_element_at(F.col("__bm"), (F.col(f"__p{j}") / 32).cast("long")),
+            F.lit(0).cast("long"),
+        )
+        mask = F.expr(f"shiftleft(1L, CAST(__p{j} % 32 AS INT))")
+        cond = word.bitwiseAND(mask) == mask
+        hit_cond = cond if hit_cond is None else (hit_cond & cond)
+    probe = probed.withColumn(
+        "bloom_hit", F.when(hit_cond, F.lit(1)).otherwise(F.lit(0))
+    )
     return (
-        labeled.groupBy("doc_id")
+        probe.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.sum("bloom_hit").cast("long").alias("n_bloom_hits"),
