@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import pinned_shuffle_partitions
+from ..functions.plan import sorted_once
 from ..sources.readers import load_table
 from .catalog import Query
 
@@ -149,10 +150,11 @@ def _ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return (
-        ev.repartition("user_id")
-        .mapInPandas(fit, "user_id long, n_events long, ewma_last double")
-        .orderBy("user_id")
+    return sorted_once(
+        ev.repartition("user_id").mapInPandas(
+            fit, "user_id long, n_events long, ewma_last double"
+        ),
+        "user_id",
     )
 
 

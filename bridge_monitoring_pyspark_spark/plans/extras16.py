@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import token_count_estimate, words
 from ..sources.readers import load_table
+from ..functions.plan import sorted_once
 from .catalog import Query
 from .extras15 import PACK_BUDGET
 
@@ -348,9 +349,10 @@ def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import resize_media, with_binary_payload
 
     d = load_table(spark, sf_dir, "documents")
-    return resize_media(
-        with_binary_payload(d, "text"), target=RESIZE_TARGET
-    ).orderBy("doc_id")
+    return sorted_once(
+        resize_media(with_binary_payload(d, "text"), target=RESIZE_TARGET),
+        "doc_id",
+    )
 
 
 _RESIZE_SQL = rf"""
@@ -403,7 +405,7 @@ def _multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_image_stats, with_ppm_payload
 
     d = load_table(spark, sf_dir, "documents")
-    return decode_image_stats(with_ppm_payload(d)).orderBy("doc_id")
+    return sorted_once(decode_image_stats(with_ppm_payload(d)), "doc_id")
 
 
 _DECODE_PPM_SQL = """
@@ -451,7 +453,9 @@ def _multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return decode_image_stats(with_png_payload(d), mime="image/png").orderBy("doc_id")
+    return sorted_once(
+        decode_image_stats(with_png_payload(d), mime="image/png"), "doc_id"
+    )
 
 
 QUERIES.append(

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..operators.joins import salted_join
 from ..operators.similarity import knn_join_blocked
 from ..sources.readers import load_table
+from ..functions.plan import sorted_once
 from .catalog import Query
 
 SALT_BUCKETS = 8
@@ -75,10 +76,13 @@ def _knn_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole corpus into the shuffle 4x for nothing — and the corpus side to
     # ceil(Nc/8192), which pins the per-cell sims matrix as the corpus
     # grows (8 blocks at sf0.1, the long-benchmarked shape).
-    return knn_join_blocked(
-        q, e, "vec_id", "vec_id", "embedding", "embedding", k=3,
-        n_query_blocks=None, n_corpus_blocks=None,
-    ).orderBy("query_id", "rank")
+    return sorted_once(
+        knn_join_blocked(
+            q, e, "vec_id", "vec_id", "embedding", "embedding", k=3,
+            n_query_blocks=None, n_corpus_blocks=None,
+        ),
+        "query_id", "rank",
+    )
 
 
 _KNN_JOIN_SQL = """

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import sample_frames, with_binary_payload
 from ..sources.readers import load_table
+from ..functions.plan import sorted_once
 from .catalog import Query
 
 
@@ -107,6 +108,9 @@ def _udtf_char_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.udtf.register("eng_char_chunker", CharChunker)
     load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    # NOT sorted_once (round 14): the plan gate asserting the deliberate
+    # BatchEvalPythonUDTF operator needs the UDTF visible in the final
+    # plan, and the double-exec cost here is ~0.2 s — transparency wins.
     return spark.sql(
         """
         SELECT d.doc_id, c.chunk_idx, c.chunk_chars, c.chunk_md5
@@ -168,8 +172,9 @@ def _frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     every 256-byte window becomes a frame row with byte features. ASCII
     text means DuckDB's char substring math reproduces the byte slicing."""
     d = load_table(spark, sf_dir, "documents")
-    return sample_frames(with_binary_payload(d, "text"), stride=256).orderBy(
-        "doc_id", "frame_idx"
+    return sorted_once(
+        sample_frames(with_binary_payload(d, "text"), stride=256),
+        "doc_id", "frame_idx",
     )
 
 

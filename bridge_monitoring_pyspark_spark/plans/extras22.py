@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
+from ..functions.plan import sorted_once
 from .catalog import Query
 
 # One parquet materialization per (witness, sf_dir) per process. The lake
@@ -299,9 +300,13 @@ def _arrow_native_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=["doc_id", "n_chars", "n_spaces", "n_chars_trimmed"],
             )
 
-    return docs.mapInArrow(
-        batches, "doc_id long, n_chars long, n_spaces long, n_chars_trimmed long"
-    ).orderBy("doc_id")
+    return sorted_once(
+        docs.mapInArrow(
+            batches,
+            "doc_id long, n_chars long, n_spaces long, n_chars_trimmed long",
+        ),
+        "doc_id",
+    )
 
 
 _ARROW_NATIVE_SQL = """

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
+from ..functions.plan import sorted_once
 from .catalog import Query
 
 EMB_DIM = 64  # testdata embeddings schema: array<float> of 64
@@ -110,14 +111,14 @@ def _phash_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import perceptual_dhash, with_png_payload
 
     d = load_table(spark, sf_dir, "documents")
-    return (
+    return sorted_once(
         perceptual_dhash(with_png_payload(d), mime="image/png")
         .groupBy("dhash")
         .agg(
             F.count(F.lit(1)).alias("n_images"),
             F.min("doc_id").alias("rep_doc"),
-        )
-        .orderBy("dhash")
+        ),
+        "dhash",
     )
 
 

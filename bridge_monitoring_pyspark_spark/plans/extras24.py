@@ -50,6 +50,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.plan import sorted_once
 from ..operators.similarity import nearest_centroids_arrow
 from ..session import pinned_shuffle_partitions
 from ..sources.readers import load_table
@@ -173,10 +174,18 @@ def _prune_survivors(
             columns={"cid": "cluster_id"}
         )
 
-    return (
-        m.groupBy("cid", *extra_group_cols)
-        .applyInPandas(sweep, f"vec_id {id_t}, cluster_id {cid_t}")
-        .orderBy("vec_id")
+    # sorted_once: orderBy's range-bound sampling pass re-executed the
+    # whole assignment mapInPandas + shuffle + BLAS sweep — TWICE per
+    # action before round 14 (see functions/plan.py). Survivor rows are
+    # (id, cid) only, so the per-build blocks are tiny at any corpus
+    # size. Plan gates that pin this pipeline's shape (arrow assigner,
+    # single corpus shuffle) monkeypatch sorted_once back to a plain
+    # orderBy so the computation plan stays inspectable in tests.
+    return sorted_once(
+        m.groupBy("cid", *extra_group_cols).applyInPandas(
+            sweep, f"vec_id {id_t}, cluster_id {cid_t}"
+        ),
+        "vec_id",
     )
 
 

@@ -47,6 +47,7 @@ from ..operators.multimodal import (
     with_wav_payload,
 )
 from ..sources.readers import load_table
+from ..functions.plan import sorted_once
 from .catalog import Query
 
 # Shared oracle prelude: replay synth_wav's closed-form interleaved sample
@@ -83,7 +84,7 @@ def _multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sample statistics. The oracle replays the closed-form sample
     function, so any decode defect is a hash fail."""
     d = load_table(spark, sf_dir, "documents")
-    return decode_audio_stats(with_wav_payload(d)).orderBy("doc_id")
+    return sorted_once(decode_audio_stats(with_wav_payload(d)), "doc_id")
 
 
 _DECODE_WAV_SQL = _WAV_PRELUDE + """
@@ -116,7 +117,9 @@ def _audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sum of squared samples. The decode stage absorbs the payload
     width; the windowed explode happens on the compact numeric side."""
     d = load_table(spark, sf_dir, "documents")
-    return audio_frame_energy(with_wav_payload(d)).orderBy("doc_id", "window_idx")
+    return sorted_once(
+        audio_frame_energy(with_wav_payload(d)), "doc_id", "window_idx"
+    )
 
 
 _FRAME_ENERGY_SQL = _WAV_PRELUDE + """
@@ -158,7 +161,9 @@ def _video_frame_luma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_video_frames, with_y4m_payload
 
     d = load_table(spark, sf_dir, "documents")
-    return decode_video_frames(with_y4m_payload(d)).orderBy("doc_id", "frame_idx")
+    return sorted_once(
+        decode_video_frames(with_y4m_payload(d)), "doc_id", "frame_idx"
+    )
 
 
 _VIDEO_FRAME_SQL = _Y4M_PRELUDE + """
@@ -189,7 +194,7 @@ def _video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import scene_cut_stats, with_y4m_payload
 
     d = load_table(spark, sf_dir, "documents")
-    return scene_cut_stats(with_y4m_payload(d)).orderBy("doc_id")
+    return sorted_once(scene_cut_stats(with_y4m_payload(d)), "doc_id")
 
 
 _SCENE_CUT_SQL = _Y4M_PRELUDE + """

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.readers import load_table
+from ..functions.plan import sorted_once
 from .catalog import Query
 
 
@@ -51,9 +52,8 @@ def _multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return (
-        decode_image_stats(with_jpeg_payload(d), mime="image/jpeg")
-        .orderBy("doc_id")
+    return sorted_once(
+        decode_image_stats(with_jpeg_payload(d), mime="image/jpeg"), "doc_id"
     )
 
 

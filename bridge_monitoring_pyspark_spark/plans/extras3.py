@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..functions.text import winnow_fingerprint_rows, winnow_hash_sql
 from ..operators.similarity import hyperplane_lsh_topk
 from ..sources.readers import load_table
+from ..functions.plan import sorted_once
 from .catalog import Query
 
 WINNOW_K = 8
@@ -45,7 +46,7 @@ def _winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fp").alias("min_fp"),
         F.max("fp").alias("max_fp"),
     )
-    return (
+    return sorted_once(
         d.select("doc_id")
         .join(stats, "doc_id", "left")
         .select(
@@ -53,8 +54,8 @@ def _winnow_fingerprint_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_fps", F.lit(0)).alias("n_fps"),
             "min_fp",
             "max_fp",
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -103,10 +104,13 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact `ann_cosine_topk` is additionally pytest-measured."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    return hyperplane_lsh_topk(
-        q, e, "vec_id", "vec_id", "embedding", dim=LSH_DIM, k=5,
-        n_tables=LSH_TABLES, bits=LSH_BITS, planes=_LSH_PLANES,
-    ).orderBy("query_id", "rank")
+    return sorted_once(
+        hyperplane_lsh_topk(
+            q, e, "vec_id", "vec_id", "embedding", dim=LSH_DIM, k=5,
+            n_tables=LSH_TABLES, bits=LSH_BITS, planes=_LSH_PLANES,
+        ),
+        "query_id", "rank",
+    )
 
 
 # The oracle is the same algorithm end-to-end: rebuild the ±1 planes from the
@@ -204,7 +208,9 @@ def _emb_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 [vec_ids, pa.array(l2, type=pa.float64())], ["vec_id", "l2_norm"]
             )
 
-    return e.mapInArrow(norms, "vec_id long, l2_norm double").orderBy("vec_id")
+    return sorted_once(
+        e.mapInArrow(norms, "vec_id long, l2_norm double"), "vec_id"
+    )
 
 
 _EMB_NORMS_SQL = """
@@ -228,10 +234,13 @@ def _neardup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import hyperplane_lsh_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    return hyperplane_lsh_pairs(
-        e, "vec_id", "embedding", LSH_DIM, 0.4,
-        n_tables=LSH_TABLES, bits=LSH_BITS, planes=_LSH_PLANES,
-    ).orderBy("vec_a", "vec_b")
+    return sorted_once(
+        hyperplane_lsh_pairs(
+            e, "vec_id", "embedding", LSH_DIM, 0.4,
+            n_tables=LSH_TABLES, bits=LSH_BITS, planes=_LSH_PLANES,
+        ),
+        "vec_a", "vec_b",
+    )
 
 
 _NEARDUP_LSH_SQL = f"""

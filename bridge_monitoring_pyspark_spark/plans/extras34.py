@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..sources.readers import load_table
+from ..functions.plan import sorted_once
 from .catalog import Query
 
 
@@ -47,7 +48,7 @@ def _multimodal_decode_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..operators.multimodal import synth_corrupt_decode_quarantine
 
     d = load_table(spark, sf_dir, "documents")
-    return synth_corrupt_decode_quarantine(d).orderBy("doc_id")
+    return sorted_once(synth_corrupt_decode_quarantine(d), "doc_id")
 
 
 _QUARANTINE_SQL = """

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.multimodal import decode_audio_stats, with_flac_payload
 from ..sources.readers import load_table
+from ..functions.plan import sorted_once
 from .catalog import Query
 from .extras25 import _DECODE_WAV_SQL
 
@@ -64,9 +65,8 @@ def _multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    return (
-        decode_audio_stats(with_flac_payload(d), mime="audio/flac")
-        .orderBy("doc_id")
+    return sorted_once(
+        decode_audio_stats(with_flac_payload(d), mime="audio/flac"), "doc_id"
     )
 
 

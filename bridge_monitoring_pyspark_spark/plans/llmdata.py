@@ -19,6 +19,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.plan import sorted_once
 from ..functions.text import (
     fingerprint_md5,
     token_count_estimate,
@@ -274,9 +275,10 @@ def _neardup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_blocks=None: auto-size ceil(N/8192) so the per-task sims matrix
     # stays ~512 MB at any corpus size (identical plan at sf0.1, where
     # auto resolves to the long-benchmarked 8 blocks).
-    return cosine_pairs_blocked(
-        e, "vec_id", "embedding", 0.4, n_blocks=None
-    ).orderBy("vec_a", "vec_b")
+    return sorted_once(
+        cosine_pairs_blocked(e, "vec_id", "embedding", 0.4, n_blocks=None),
+        "vec_a", "vec_b",
+    )
 
 
 _NEARDUP_EMB_SQL = """
@@ -306,9 +308,10 @@ def _ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow/BLAS brute-force path with per-batch partial top-k."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 10)
-    return cosine_topk_arrow(
-        q, e, "vec_id", "vec_id", "embedding", "embedding", k=5
-    ).orderBy("query_id", "rank")
+    return sorted_once(
+        cosine_topk_arrow(q, e, "vec_id", "vec_id", "embedding", "embedding", k=5),
+        "query_id", "rank",
+    )
 
 
 _ANN_SQL = """
@@ -350,11 +353,14 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = e.where(F.col("vec_id") % stride == 0).select(
         (F.col("vec_id") / stride).cast("int").alias("cid"), "embedding"
     )
-    return ivf_topk(
-        q, e, centroids,
-        query_id="vec_id", corpus_id="vec_id", vec_col="embedding",
-        centroid_id="cid", centroid_vec="embedding", k=5, n_probe=3,
-    ).orderBy("query_id", "rank")
+    return sorted_once(
+        ivf_topk(
+            q, e, centroids,
+            query_id="vec_id", corpus_id="vec_id", vec_col="embedding",
+            centroid_id="cid", centroid_vec="embedding", k=5, n_probe=3,
+        ),
+        "query_id", "rank",
+    )
 
 
 # Same algorithm replayed: corpus→nearest centroid (top-1 by round(csim,6)
@@ -408,7 +414,7 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (mapInPandas). Decode is stubbed (no media libs in container); byte-level
     features are deterministic so the query is fully oracle-checkable."""
     d = load_table(spark, sf_dir, "documents")
-    return extract_features(with_binary_payload(d, "text")).orderBy("doc_id")
+    return sorted_once(extract_features(with_binary_payload(d, "text")), "doc_id")
 
 
 _MULTIMODAL_SQL = """

@@ -78,7 +78,20 @@ def test_semdedup_drops_something_and_keeps_first(spark):
     assert min(all_ids) in kept
 
 
-def test_semdedup_plan_assigns_via_arrow_not_crossjoin(spark):
+def _plain_sort(monkeypatch):
+    """Plan gates inspect the COMPUTATION plan: sorted_once's lazy
+    localCheckpoint (round 14 — stops orderBy's sampling pass re-running
+    the Python stages) wraps it in an opaque LogicalRDD, so gates swap it
+    for a plain orderBy. Execution-path correctness of the checkpointed
+    form is covered by the oracle gate and the numpy-replay tests, which
+    run the shipped builders unpatched."""
+    from bridge_monitoring_pyspark_spark.plans import extras24 as _m
+
+    monkeypatch.setattr(_m, "sorted_once", lambda df, *cols: df.orderBy(*cols))
+
+
+def test_semdedup_plan_assigns_via_arrow_not_crossjoin(spark, monkeypatch):
+    _plain_sort(monkeypatch)
     plan = (
         all_queries()["semdedup_prune"]
         .build(spark, SF_SMOKE)
@@ -209,7 +222,8 @@ def test_semdedup_kmeans_capped_matches_numpy_replay(spark):
     assert uncapped <= set(got)
 
 
-def test_semdedup_kmeans_plan_uses_arrow_assigner(spark):
+def test_semdedup_kmeans_plan_uses_arrow_assigner(spark, monkeypatch):
+    _plain_sort(monkeypatch)
     plan = (
         all_queries()["semdedup_prune_kmeans"]
         .build(spark, SF_SMOKE)
@@ -273,13 +287,14 @@ def test_semdedup_capped_recall_floors(spark):
     )
 
 
-def test_semdedup_capped_proj_plan_single_corpus_shuffle(spark):
+def test_semdedup_capped_proj_plan_single_corpus_shuffle(spark, monkeypatch):
     """The locality split must stay one-corpus-shuffle: the rank window's
     hashpartitioning(cid) satisfies the sweep's
     ClusteredDistribution(cid, sub), so Catalyst inserts only a
     partition-local sort between them. Exactly 2 Exchanges total (cid
     hash + the final orderBy range partition) and 1 Window; a regression
     that regroups the corpus for the sweep shows up as a third."""
+    _plain_sort(monkeypatch)
     plan = (
         all_queries()["semdedup_prune_kmeans_capped_proj"]
         .build(spark, SF_SMOKE)

@@ -252,12 +252,18 @@ def test_neardup_pairs_build_never_touches_driver(spark, monkeypatch):
 
     monkeypatch.setattr(DataFrame, "collect", _boom)
     monkeypatch.setattr(DataFrame, "toPandas", _boom)
+    # inspect the computation plan: sorted_once's lazy checkpoint (round
+    # 14) wraps the final plan in an opaque LogicalRDD — swap in a plain
+    # orderBy so the gate still sees the blocked-matmul stage
+    from bridge_monitoring_pyspark_spark.plans import llmdata as _llm
+
+    monkeypatch.setattr(_llm, "sorted_once", lambda d, *c: d.orderBy(*c))
     df = CATALOG["neardup_embedding_pairs"].build(spark, SF_SMOKE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan  # the blocked matmul stage
 
 
-def test_ivf_assignment_never_windows_nxk(spark):
+def test_ivf_assignment_never_windows_nxk(spark, monkeypatch):
     """The IVF nearest-centroid assignment must never rank the N x K
     scored pairs through a row_number window — the sf0.1→sf1 scale run
     measured that window (shuffling every pair with two vector payloads)
@@ -267,6 +273,9 @@ def test_ivf_assignment_never_windows_nxk(spark):
     final per-query re-rank. The JVM-only fallback (`assignment="sql"`)
     is pinned separately: corpus top-1 must aggregate (max_by, map-side
     combine), allowing one more Window for the n_probe query side."""
+    from bridge_monitoring_pyspark_spark.plans import llmdata as _llm
+
+    monkeypatch.setattr(_llm, "sorted_once", lambda d, *c: d.orderBy(*c))
     df = CATALOG["ann_ivf_topk"].build(spark, SF_SMOKE)
     plan = _executed_plan(df)
     assert "MapInPandas" in plan
