@@ -245,6 +245,12 @@ def neardup_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             .coalesce(8)
             .localCheckpoint()
         )
+    # per-round shuffles sized by the edge list itself (round 14 — the
+    # scale-adaptive rule pinned_shuffle_partitions' docstring promises):
+    # the checkpointed edges' partition count reflects the data (after the
+    # coalesce cap above), not the session default, so a tiny dedup graph
+    # stops scheduling defaultParallelism near-empty tasks per round
+    with pinned_shuffle_partitions(spark, edges.rdd.getNumPartitions()):
         labels = (
             edges.select(F.col("src").alias("node")).distinct()
             .withColumn("label", F.col("node"))
@@ -266,8 +272,14 @@ def neardup_components(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
                     "label",
                 )
             )
-            updated = updated.coalesce(8).localCheckpoint()  # per-round lineage O(1)
-            changed = updated.where(F.col("new_label") != F.col("label")).limit(1).count()
+            # ONE job per round (round 14): the lazy checkpoint truncates
+            # lineage to an O(1) LogicalRDD without its own job, and the
+            # full (non-limit) convergence count is the job that
+            # materializes every partition's blocks — a limit(1) probe
+            # here could stop early and leave unmaterialized partitions to
+            # recompute through the lineage chain next round.
+            updated = updated.localCheckpoint(eager=False)
+            changed = updated.where(F.col("new_label") != F.col("label")).count()
             labels = updated.select("node", F.col("new_label").alias("label"))
             if changed == 0:
                 break
