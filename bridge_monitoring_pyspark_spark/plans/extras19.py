@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import words
+from ..functions.plan import sorted_once
 from ..sources.readers import load_table
 from .catalog import Query
 
@@ -340,12 +341,18 @@ def _substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     kept = F.filter(F.col("ws"), lambda w, i: ~covered((i + 1).cast("long")))
-    return d.select(
+    # sorted_once: the per-row HOF coverage filter + md5 rebuild sit above
+    # the last exchange, so the sort's sampling pass ran them twice (see
+    # functions/plan.py)
+    return sorted_once(
+        d.select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_words"),
+            (F.size("ws") - F.size(kept)).cast("long").alias("n_removed"),
+            F.md5(F.encode(F.concat_ws(" ", kept), "UTF-8")).alias("cleaned_md5"),
+        ),
         "doc_id",
-        F.size("ws").cast("long").alias("n_words"),
-        (F.size("ws") - F.size(kept)).cast("long").alias("n_removed"),
-        F.md5(F.encode(F.concat_ws(" ", kept), "UTF-8")).alias("cleaned_md5"),
-    ).orderBy("doc_id")
+    )
 
 
 _DEDUP_CLEAN_SQL = f"""

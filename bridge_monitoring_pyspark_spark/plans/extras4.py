@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import winnow_fingerprint_rows, winnow_hash_sql
+from ..functions.plan import sorted_once
 from ..sources.readers import load_table
 from .catalog import Query
 
@@ -65,7 +66,9 @@ def _winnow_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= MIN_SHARED_FPS)
-        .orderBy("doc_a", "doc_b")
+        # sorted_once: the sort's sampling pass re-ran the pair self-join
+        # segment (see functions/plan.py)
+        .transform(lambda df: sorted_once(df, "doc_a", "doc_b"))
     )
 
 

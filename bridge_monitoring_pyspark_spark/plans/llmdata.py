@@ -250,7 +250,9 @@ def _neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings-list (inverted index) plan — no cartesian product, full
     codegen."""
     p = shingle_postings(load_table(spark, sf_dir, "documents"), "doc_id", "text", SHINGLE_N)
-    return jaccard_pairs_bruteforce(p, JACCARD_THRESHOLD).orderBy("doc_a", "doc_b")
+    return sorted_once(
+        jaccard_pairs_bruteforce(p, JACCARD_THRESHOLD), "doc_a", "doc_b"
+    )
 
 
 def _neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -259,8 +261,8 @@ def _neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with 32 bands x 4 rows), so it shares the brute-force oracle."""
     p = shingle_postings(load_table(spark, sf_dir, "documents"), "doc_id", "text", SHINGLE_N)
     cands = minhash_lsh_candidates(p, num_hashes=128, rows_per_band=4)
-    return verify_candidates_jaccard(cands, p, JACCARD_THRESHOLD).orderBy(
-        "doc_a", "doc_b"
+    return sorted_once(
+        verify_candidates_jaccard(cands, p, JACCARD_THRESHOLD), "doc_a", "doc_b"
     )
 
 
@@ -299,7 +301,7 @@ def _simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     production scale path, pytest-validated against a pure Python
     reimplementation and the expression form."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash63_agg(d, "doc_id", "text").orderBy("doc_id")
+    return sorted_once(simhash63_agg(d, "doc_id", "text"), "doc_id")
 
 
 # --- Similarity search ----------------------------------------------------------
