@@ -33,6 +33,10 @@ Canonical-record guard (round-6 review: a leftover SPARK_GRAFT_SF_DIR once
 rewrote the committed sf0.1 record with an sf0.001 run): the full payload is
 written to BENCH.json only when sf == 0.1; any other sf goes to
 BENCH_sf<sf>.json so ad-hoc runs can never clobber the round-of-record file.
+Round 15 extends the guard to the core count (VERDICT r14 item 2: the
+driver's routine local[8] scaling run clobbered BENCH.json with an 8-core
+total): only SPARK_GRAFT_CPUS == 32 at sf0.1 writes BENCH.json; any other
+core count lands in BENCH_c<n>.json.
 """
 
 from __future__ import annotations
@@ -50,6 +54,22 @@ from bridge_monitoring_pyspark_spark.plans.catalog import all_queries  # noqa: E
 from bridge_monitoring_pyspark_spark.session import get_spark  # noqa: E402
 
 
+def artifact_name(sf: float, cpus: str) -> str:
+    """Which file this run's full payload may write (canonical-record guard).
+
+    BENCH.json is reserved for the round-of-record configuration — sf0.1 at
+    32 cores. Non-canonical sf wins (a leftover SPARK_GRAFT_SF_DIR) and
+    non-canonical core counts (the driver's local[8] scaling pass, VERDICT
+    r14 item 2) each get their own clearly-named side file so they can never
+    clobber the record.
+    """
+    if sf != 0.1:
+        return f"BENCH_sf{sf}.json"
+    if cpus != "32":
+        return f"BENCH_c{cpus}.json"
+    return "BENCH.json"
+
+
 def main() -> None:
     # The driver parses stdout as exactly one JSON line, but the Spark JVM
     # writes launch/log noise straight to fd 1 (bypassing sys.stdout). Park
@@ -63,6 +83,8 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+
+    out_name = artifact_name(sf, cpus)
 
     # Fault isolation: one broken query must cost one "errors" entry, never
     # the suite — the JSON line is emitted unconditionally, even if session
@@ -204,9 +226,8 @@ def main() -> None:
                     "partial": True,
                     "queries": timings,
                 }
-                name = "BENCH.json" if sf == 0.1 else f"BENCH_sf{sf}.json"
                 path = os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)), name
+                    os.path.dirname(os.path.abspath(__file__)), out_name
                 )
                 with open(path, "w") as f:
                     f.write(json.dumps(snap) + "\n")
@@ -286,14 +307,13 @@ def main() -> None:
         full["errors"] = errors
     if fatal:
         full["fatal"] = fatal
-    # Canonical-record guard: only an sf0.1 run may write BENCH.json (the
-    # round-of-record file all round-over-round comparisons read). Any other
-    # sf — e.g. a leftover SPARK_GRAFT_SF_DIR from scale tooling — lands in a
+    # Canonical-record guard: only an sf0.1 run at 32 cores may write
+    # BENCH.json (the round-of-record file all round-over-round comparisons
+    # read); out_name was chosen up top. Any other configuration lands in a
     # clearly-named side file instead.
-    out_name = "BENCH.json" if sf == 0.1 else f"BENCH_sf{sf}.json"
     if out_name != "BENCH.json":
-        print(f"bench.py: sf={sf} != canonical 0.1 — writing {out_name}, "
-              "NOT BENCH.json", file=sys.stderr)
+        print(f"bench.py: sf={sf} cpus={cpus} != canonical (0.1, 32) — "
+              f"writing {out_name}, NOT BENCH.json", file=sys.stderr)
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out_name), "w") as f:
         f.write(json.dumps(full) + "\n")
 

@@ -150,7 +150,13 @@ def viterbi_segment_stats(
         import numpy as np
         import pandas as pd
 
-        pdf = pd.concat(list(batches), ignore_index=True)
+        # a shuffle partition can deliver ZERO batches (ADVICE r14: the
+        # empty guard below is unreachable for that case and pd.concat([])
+        # raises) — currently shielded only by AQE coalescing, so guard it
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
             return
         words_u, widx = np.unique(pdf["w"].to_numpy(), return_inverse=True)

@@ -126,13 +126,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # tokenization stays witnessed in-window by bpe_train_merges, and the
     # Viterbi DP stays oracle-checked from position 51+.
     "streaming_foreachbatch_upsert",
-    # round-13 rotation (VERDICT r12 item 3): driver-verify the n-gram
-    # overlap decontamination (plans/extras14.py), never inside the
-    # window before. Its slot was dedup_exact_docs, driver-green since
-    # r2 — exact dedup stays witnessed in-window by stage 1 of
-    # dedup_pipeline_survivors (same min_by keep-first contract), and
-    # the standalone entry stays oracle-checked from position 51+.
-    "decontaminate_ngram_overlap",
+    # round-15 rotation (VERDICT r14 item 4): driver-verify the cogrouped
+    # as-of merge (plans/extras8.py) — rotated OUT in r11 and heavily
+    # rewritten since (the r14 sorted_once fix, 5.2->3.3 s), so the
+    # driver verifies the new code path. Its slot was
+    # decontaminate_ngram_overlap, driver-green r13-r14 — decontamination
+    # stays witnessed in-window by bloom_shingle_decontaminate, and the
+    # n-gram overlap form stays oracle-checked from position 51+.
+    "cogrouped_asof_merge",
     # round-12 rotation: driver-verify the locality-preserving capped
     # SemDeDup (plans/extras24.py) — this round's new code, rotated in
     # the round it ships so it never becomes "the most expensive
@@ -163,15 +164,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # and now tagged superseded-at-scale (it OOMs at decade 3 where this
     # form survives); it stays oracle-checked from position 51+.
     "semdedup_prune_kmeans_capped",
-    # round-13 rotation (VERDICT r12 item 3): driver-verify the BPE
-    # encoder top-k (plans/extras26.py) — greedy merge-table application,
-    # the inference half of the tokenizer whose training loop is already
-    # in-window — and the most expensive never-driver-verified entry
-    # (1.65 s). Its slot was sequence_packing_stats, driver-green since
-    # r5 — the tokenizer family stays witnessed in-window by
-    # bpe_train_merges + bpe_fertility_by_lang + this entry, and the
-    # packing witness stays oracle-checked from position 51+.
-    "bpe_encode_topk",
+    # round-15 rotation (VERDICT r14 item 4): driver-verify the Viterbi
+    # unigram DP (plans/extras7.py / operators/unigram.py) — vectorized
+    # into one mapInPandas pass in r14 (31 driver rounds -> 1 job), so the
+    # driver verifies the new code path. Its slot was bpe_encode_topk,
+    # driver-green r13-r14 — the tokenizer family stays witnessed
+    # in-window by bpe_train_merges, and the encoder top-k stays
+    # oracle-checked from position 51+.
+    "viterbi_segment_stats",
     # round-5 data-selection + sketch headliners (rotated into the capped
     # window per round-5 review; the five slots they took were redundant
     # second witnesses of already-covered §2 ids)
@@ -189,13 +189,15 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # dsir_importance_weights, and the weighted sampler stays
     # oracle-checked from position 51+.
     "streaming_dropdup_watermark",
-    # round-12 rotation (VERDICT r11 item 2): driver-verify the Gopher
-    # repetition signals (plans/llmdata2.py), never inside the window
-    # before. Its slot was neardup_embedding_lsh_pairs, driver-green since
-    # r5 — embedding near-dup stays witnessed in-window by the capped
-    # SemDeDup and minhash-LSH entries, and the embedding-LSH pair
-    # generator stays oracle-checked from position 51+.
-    "repetition_signals_gopher",
+    # round-15 rotation (VERDICT r14 item 4): driver-verify the iterative
+    # PageRank loop (plans/extras14.py) — rotated OUT in r11 and rebuilt
+    # in r14 (data-sized shuffles, one job per round, 7.2->4.3 s), so the
+    # driver verifies the new code path. Its slot was
+    # repetition_signals_gopher, driver-green r12-r14 — the quality-signal
+    # family stays witnessed in-window by streaming_quality_filter and
+    # lang_id_heuristic, and the Gopher signals stay oracle-checked from
+    # position 51+.
+    "pagerank_transitions",
     "cms_heavy_hitters",
     # round-14 rotation (VERDICT r13 item 4): driver-verify small-file
     # compaction (plans/extras16.py) — the write-side layout maintenance
@@ -232,24 +234,23 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # stays witnessed in-window by the PNG/WAV/Y4M/JPEG decodes, and
     # perceptual-hash dedup stays oracle-checked from position 51+.
     "dedup_pipeline_survivors",
-    # round-8 rotation (VERDICT r7 item 6): driver-verify the three most
-    # expensive previously-ORACLE-only witnesses — stats-driven join
-    # reordering, the salted stream-stream interval join (the heaviest
-    # stateful pattern), and the iterative PageRank loop. The three slots
-    # they take were capability-redundant in the window: ann_lsh_topk (ANN
-    # still witnessed by the cosine/IVF/PQ tiers), doc_fingerprint_md5
-    # (fingerprinting still witnessed by simhash + winnowing), and
-    # winnow_neardup_pairs (near-dup still witnessed by minhash-LSH /
-    # jaccard / simhash / components). All three displaced entries remain
-    # oracle-checked from position 51+.
-    "cbo_join_reorder",
-    # round-10 rotation (VERDICT r9 item 4): driver-verify the watermarked
-    # stream-stream INTERVAL join (event-time range condition), never
-    # inside the window before. Its slot was streaming_full_outer_join,
-    # driver-green in r9 — the stream-stream family stays witnessed
-    # in-window by the left-outer + interval pair, and the full-outer and
-    # semi shapes stay oracle-checked from position 51+.
-    "streaming_interval_join",
+    # round-15 rotation (VERDICT r14 item 4): driver-verify the Lloyd
+    # k-means loop (plans/extras9.py) — its model moved from per-iteration
+    # plan literals to broadcast data in r14, so the driver verifies the
+    # new code path. Its slot was cbo_join_reorder, driver-green r8-r14 —
+    # multi-join planning stays witnessed in-window by
+    # q2_min_cost_supplier and q21_waiting_suppliers (and the CBO conf
+    # behavior stays plan-gate-tested in tests/test_plan_quality.py); the
+    # join-reorder witness stays oracle-checked from position 51+.
+    "kmeans_embeddings",
+    # round-15 rotation (VERDICT r14 item 4): driver-verify the exact
+    # shingle-Jaccard near-dup pairs (plans/llmdata.py) — in r14's
+    # sorted_once family, never driver-verified before. Its slot was
+    # streaming_interval_join, driver-green r10-r14 — the stream-stream
+    # family stays witnessed in-window by streaming_left_outer_join, and
+    # both interval-join forms (unsalted + salted) stay oracle-checked
+    # from position 51+.
+    "neardup_jaccard_pairs",
     # round-11 addition, driver-verified from day one (VERDICT r10 item
     # 4): adversarial-input decode quarantine (plans/extras34.py) — every
     # (format x structural-corruption) cell routed to ok/quarantine rows
@@ -301,6 +302,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # family; the RRF fusion form stays oracle-checked from 51+.
     "bm25_retrieval",
     # position 51+: operator ids above already covered elsewhere
+    # displaced by the round-15 rotation (all driver-green for 2+ rounds;
+    # capabilities keep in-window witnesses — see the r15 slot comments)
+    "decontaminate_ngram_overlap",
+    "bpe_encode_topk",
+    "repetition_signals_gopher",
+    "cbo_join_reorder",
+    "streaming_interval_join",
     # displaced by the round-14 rotation (all driver-green for 2+ rounds;
     # capabilities keep in-window witnesses — see the r14 slot comments)
     "streaming_pyds_ingest",
@@ -316,10 +324,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "multimodal_decode_wav",
     "knn_join_blocked",
     "sliding_window_counts",
-    "kmeans_embeddings",
     "simhash_docs",
     "ann_cosine_topk",
-    "neardup_jaccard_pairs",
     "doc_fingerprint_md5",
     "winnow_neardup_pairs",
     "ann_lsh_topk",
@@ -355,16 +361,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # displaced by the round-10 rotation; still oracle-checked every round
     "asof_last_order_before_event",
     "streaming_semi_join",
-    "viterbi_segment_stats",
     "phash_image_dedup",
     "streaming_full_outer_join",
     # displaced by the round-11 rotation; still oracle-checked every round
     "semdedup_prune",
-    "cogrouped_asof_merge",
     "session_window_stats",
     "q6_forecast_revenue",
     "window_running_order_totals",
-    "pagerank_transitions",
     # displaced by the round-13 rotation; still oracle-checked every round
     "stats_moments",
     "bucketed_join_revenue",

@@ -130,7 +130,12 @@ def _ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fit(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
+        # zero-batch shuffle partitions make pd.concat([]) raise (ADVICE
+        # r14, same latent pattern as unigram.relax) — guard before concat
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
         if pdf.empty:
             return
         pdf = pdf.sort_values(["user_id", "ts", "event_id"])

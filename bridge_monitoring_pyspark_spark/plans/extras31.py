@@ -37,23 +37,16 @@ BLOOM_K = 5
 BLOOM_M_BITS = 131_072  # 2^17 -> 4096 32-bit words; ~0.7% FP at sf0.01
 
 
-def _positions(df: DataFrame) -> DataFrame:
-    """k md5-derived bit positions per gram: pos_j = int(md5(j ':' gram)
-    [:8 hex]) % m. 32-bit words keep every mask below 2^31 so the bitwise
-    algebra is sign-free and identical in Spark and DuckDB."""
-    j = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("j")
-    out = df.select("*", j)
-    pos = (
+def _pos_expr(j_str, gram) -> F.Column:
+    """THE Bloom position arithmetic — pos_j = int(md5(j ':' gram)[:8 hex])
+    % m — shared by the bitmap-build side (:func:`_positions`) and the
+    inline probe loop so the two can never drift (ADVICE r14: a silent
+    divergence would produce false NEGATIVES, violating the pytested
+    no-false-negative invariant). ``j_str``/``gram`` are string Columns."""
+    return (
         F.conv(
             F.substring(
-                F.md5(
-                    F.encode(
-                        F.concat(
-                            F.col("j").cast("string"), F.lit(":"), F.col("gram")
-                        ),
-                        "UTF-8",
-                    )
-                ),
+                F.md5(F.encode(F.concat(j_str, F.lit(":"), gram), "UTF-8")),
                 1,
                 8,
             ),
@@ -62,8 +55,16 @@ def _positions(df: DataFrame) -> DataFrame:
         ).cast("long")
         % BLOOM_M_BITS
     )
+
+
+def _positions(df: DataFrame) -> DataFrame:
+    """k md5-derived bit positions per gram: pos_j = int(md5(j ':' gram)
+    [:8 hex]) % m. 32-bit words keep every mask below 2^31 so the bitwise
+    algebra is sign-free and identical in Spark and DuckDB."""
+    j = F.explode(F.array(*[F.lit(i) for i in range(BLOOM_K)])).alias("j")
+    out = df.select("*", j)
     return (
-        out.withColumn("pos", pos)
+        out.withColumn("pos", _pos_expr(F.col("j").cast("string"), F.col("gram")))
         .withColumn("wid", (F.col("pos") / 32).cast("long"))
         # pyspark's shiftleft() only takes a literal shift count; the SQL
         # form accepts a column
@@ -136,24 +137,10 @@ def _bloom_shingle_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = flagged.join(F.broadcast(bitmap_row))
     hit_cond = None
     for j in range(BLOOM_K):
-        # same md5-derived position arithmetic as _positions, j a literal
-        pos = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.encode(
-                            F.concat(F.lit(f"{j}:"), F.col("gram")), "UTF-8"
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % BLOOM_M_BITS
+        # the SAME _pos_expr as the bitmap-build side, j a literal
+        probed = probed.withColumn(
+            f"__p{j}", _pos_expr(F.lit(str(j)), F.col("gram"))
         )
-        probed = probed.withColumn(f"__p{j}", pos)
         word = F.coalesce(
             F.try_element_at(F.col("__bm"), (F.col(f"__p{j}") / 32).cast("long")),
             F.lit(0).cast("long"),

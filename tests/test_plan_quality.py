@@ -245,7 +245,9 @@ def test_neardup_pairs_build_never_touches_driver(spark, monkeypatch):
     materialization — the round-2/3 scale-killer was a full-table
     .collect() at build time. Poisoning collect()/toPandas() during build
     proves the blocked form keeps the corpus on the executors."""
-    from pyspark.sql import DataFrame
+    # patch the CLASSIC class — Spark 4 instances resolve methods there, so
+    # poisoning the pyspark.sql.DataFrame base alone never fires (r15 audit)
+    from pyspark.sql.classic.dataframe import DataFrame
 
     def _boom(self, *a, **k):
         raise AssertionError("driver-side materialization during query build")
@@ -297,3 +299,33 @@ def test_ivf_assignment_never_windows_nxk(spark, monkeypatch):
     sql_plan = _executed_plan(sql_form)
     assert "max_by" in sql_plan
     assert sql_plan.count("Window [") <= 2, sql_plan.count("Window [")
+
+
+def test_sorted_once_shipped_plan_is_checkpointed_sort(spark, monkeypatch):
+    """UNPATCHED gate on the shipped sorted_once shape (VERDICT r14 item 5 /
+    ADVICE r14): every other plan gate substitutes a plain orderBy to see
+    through the checkpoint, so without this test a refactor could silently
+    drop the lazy localCheckpoint (re-introducing the double Python-stage
+    execution) or make it eager (moving work out of the timed/oracle'd
+    build). Asserts, on a representative catalog user (simhash_docs):
+    (a) the executed plan is the claimed `Scan ExistingRDD -> Exchange
+    rangepartitioning -> Sort` shape, and (b) the checkpoint call is lazy."""
+    # patch the CLASSIC class — Spark 4 instances resolve methods there,
+    # not on the pyspark.sql.DataFrame base
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    calls: list[bool] = []
+    orig = DataFrame.localCheckpoint
+
+    def spy(self, eager=True):
+        calls.append(eager)
+        return orig(self, eager=eager)
+
+    monkeypatch.setattr(DataFrame, "localCheckpoint", spy)
+    df = CATALOG["simhash_docs"].build(spark, SF_SMOKE)
+    assert calls == [False], f"expected one lazy localCheckpoint, saw {calls}"
+    plan = _executed_plan(df)
+    assert "Scan ExistingRDD" in plan, "lazy checkpoint missing from shipped plan"
+    assert "Sort [" in plan and "rangepartitioning" in plan
+    # the Sort must consume the checkpointed child, not a recomputed subtree
+    assert plan.index("Sort [") < plan.index("Scan ExistingRDD")
