@@ -147,9 +147,12 @@ def _neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pair graph (the step after pair generation in a real dedup
     pipeline — keep one doc per component). The oracle computes the same
     components with a recursive CTE."""
+    # lazy-checkpoint the postings: the bruteforce self-join + sizes lookup
+    # evaluate the posexplode+window+distinct subtree three times in one
+    # action otherwise (r15 plan audit; same fix as the llmdata pair entries)
     p = shingle_postings(
         load_table(spark, sf_dir, "documents"), "doc_id", "text", SHINGLE_N
-    )
+    ).localCheckpoint(eager=False)
     pairs = jaccard_pairs_bruteforce(p, JACCARD_THRESHOLD)
     return neardup_components(pairs).orderBy("doc_id")
 

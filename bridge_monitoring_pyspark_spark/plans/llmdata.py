@@ -249,7 +249,14 @@ def _neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact 3-word-shingle Jaccard >= 0.8, via the
     postings-list (inverted index) plan — no cartesian product, full
     codegen."""
-    p = shingle_postings(load_table(spark, sf_dir, "documents"), "doc_id", "text", SHINGLE_N)
+    # lazy-checkpoint the postings: the bruteforce plan evaluates this
+    # posexplode+window+distinct subtree THREE times in one action (both
+    # sides of the self-join + the sizes lookup — r15 plan audit counted
+    # the duplicated FileScan/Window chains); one materialization serves
+    # all three. Same within-action-reuse posture as sorted_once.
+    p = shingle_postings(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", SHINGLE_N
+    ).localCheckpoint(eager=False)
     return sorted_once(
         jaccard_pairs_bruteforce(p, JACCARD_THRESHOLD), "doc_a", "doc_b"
     )
@@ -259,7 +266,12 @@ def _neardup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same near-dup pairs via MinHash+LSH candidates + exact verification —
     the 100 TB path. Output equals brute force (miss prob < 5e-8 at s=0.8
     with 32 bands x 4 rows), so it shares the brute-force oracle."""
-    p = shingle_postings(load_table(spark, sf_dir, "documents"), "doc_id", "text", SHINGLE_N)
+    # lazy-checkpoint the postings: signature build + verify evaluate this
+    # subtree FOUR times in one action without it (r15 plan audit: 4
+    # duplicated FileScan/posexplode/Window chains in the executed plan)
+    p = shingle_postings(
+        load_table(spark, sf_dir, "documents"), "doc_id", "text", SHINGLE_N
+    ).localCheckpoint(eager=False)
     cands = minhash_lsh_candidates(p, num_hashes=128, rows_per_band=4)
     return sorted_once(
         verify_candidates_jaccard(cands, p, JACCARD_THRESHOLD), "doc_a", "doc_b"

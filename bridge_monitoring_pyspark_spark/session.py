@@ -62,6 +62,20 @@ def default_configs(shuffle_partitions: int | None = None) -> dict[str, str]:
         "spark.sql.streaming.stateStore.providerClass": (
             "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
         ),
+        # Stream-stream join state format v3 (round 15): ONE RocksDB
+        # instance per partition with virtual column families instead of
+        # the v2 four (left/right x keyToNumValues/keyWithIndexToValue) —
+        # 4x fewer per-batch snapshot+fsync+load cycles, the dominant
+        # fixed cost of the join witnesses (r15 profile: commit
+        # fileSync/zip was ~60% of their addBatch). Measured at sf0.1:
+        # salted interval join 3.57 -> 2.41 s (1.48x), gold 4.70 -> 3.57 s
+        # (1.32x), identical output. At scale the same factor applies to
+        # every DFS snapshot upload. Requires the RocksDB provider (set
+        # above); v3 checkpoints are not readable by v2 sessions — all
+        # engine checkpoints are per-run temp dirs, and a production
+        # migration would drain-and-restart, the standard format-bump
+        # path.
+        "spark.sql.streaming.join.stateFormatVersion": "3",
         # The driver testdata parquet stores TIMESTAMP(NANOS) which Spark has
         # no native type for; read as long and convert in the loader
         # (sources/readers.py TIMESTAMP_COLS).
