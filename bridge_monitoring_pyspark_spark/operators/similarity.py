@@ -1051,13 +1051,23 @@ def hyperplane_lsh_pairs(
     # scored k times — identical floats each time (deterministic expression),
     # so distinct collapses them exactly; duplicate dots are cheap, duplicate
     # vector shuffles are not.
-    bv = _lsh_bucket_table(df, id_col, vec_col, planes, n_tables, bits).join(
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(vec_col).alias("__v"),
-            l2_norm(F.col(vec_col)).alias("__n"),
-        ),
-        "id",
+    bv = (
+        _lsh_bucket_table(df, id_col, vec_col, planes, n_tables, bits)
+        .join(
+            df.select(
+                F.col(id_col).alias("id"),
+                F.col(vec_col).alias("__v"),
+                l2_norm(F.col(vec_col)).alias("__n"),
+            ),
+            "id",
+        )
+        # lazy-checkpoint before the self-join (round 15): both aliases
+        # otherwise re-execute the MapInPandas bucketing stage AND the
+        # vector join — the r15 plan audit counted the Python stage twice
+        # in the executed plan. One materialization (N x tables rows, the
+        # same data the join shuffles anyway) serves both sides; blocks
+        # are per-action, so no cross-run caching.
+        .localCheckpoint(eager=False)
     )
     x, y = bv.alias("x"), bv.alias("y")
     return (

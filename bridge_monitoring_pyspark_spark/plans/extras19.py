@@ -313,7 +313,10 @@ def _substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     k = DUP_GRAM_WORDS
     docs = load_table(spark, sf_dir, "documents")
-    sh = _positioned_grams(docs)
+    # lazy-checkpoint the positioned grams: the gram-stats build side and
+    # the postings probe side below otherwise evaluate the explode chain
+    # twice per action (r15 plan audit counted the duplicated scan+Generate)
+    sh = _positioned_grams(docs).localCheckpoint(eager=False)
     gstats = sh.groupBy("g").agg(
         F.min("doc_id").alias("first_holder"),
         F.max("doc_id").alias("last_holder"),
