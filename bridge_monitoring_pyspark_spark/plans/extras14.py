@@ -333,6 +333,9 @@ def _decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array())
         ).alias("gram"),
     ).distinct()
+    # NOT checkpointed (r15 audit): both branches evaluate the gram
+    # explode+distinct, but it is pure codegen — the interleaved A/B read
+    # a within-action checkpoint as a slight loss (see OPTIMIZATION_r15.md)
     bench = (
         grams.where(F.col("doc_id") % 50 == 0).select("gram").distinct()
     )

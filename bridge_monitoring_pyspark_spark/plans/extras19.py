@@ -76,7 +76,12 @@ def _dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, and nothing bigger than ``DSIR_BUCKETS`` rows converges on one
     task.
     """
-    tok = _token_buckets(load_table(spark, sf_dir, "documents"), DSIR_BUCKETS)
+    # lazy-checkpoint: raw, target and per-doc passes all consume this
+    # tokenize+explode chain — three evaluations per action without it
+    # (r15 plan audit)
+    tok = _token_buckets(
+        load_table(spark, sf_dir, "documents"), DSIR_BUCKETS
+    ).localCheckpoint(eager=False)
     raw = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
     tgt = (
         tok.where(F.col("lang") == "en")
@@ -238,6 +243,12 @@ def _substring_dup_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled-hash so the 8-grams-per-word probe side is never sorted
     (decade-3 lesson: SMJ external sort is what breaks first at scale).
     """
+    # NOT checkpointed (r15 audit): the gram-df build and the postings
+    # join back both evaluate this explode chain, but an interleaved A/B
+    # measured the materialization costing as much as the recompute — the
+    # chain is pure codegen (scan+explode), the class where within-action
+    # checkpointing is a wash (it pays only for Python-boundary or
+    # multi-shuffle subtrees; see OPTIMIZATION_r15.md).
     sh = _positioned_grams(load_table(spark, sf_dir, "documents"))
     dup = (
         sh.groupBy("g")
@@ -313,10 +324,10 @@ def _substring_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     k = DUP_GRAM_WORDS
     docs = load_table(spark, sf_dir, "documents")
-    # lazy-checkpoint the positioned grams: the gram-stats build side and
-    # the postings probe side below otherwise evaluate the explode chain
-    # twice per action (r15 plan audit counted the duplicated scan+Generate)
-    sh = _positioned_grams(docs).localCheckpoint(eager=False)
+    # NOT checkpointed — same adjudication as _substring_dup_runs above:
+    # the duplicated chain is pure codegen, and the interleaved A/B read
+    # the checkpoint as a wash-to-loss (r15 audit)
+    sh = _positioned_grams(docs)
     gstats = sh.groupBy("g").agg(
         F.min("doc_id").alias("first_holder"),
         F.max("doc_id").alias("last_holder"),

@@ -47,6 +47,9 @@ def _cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     CMS estimate (min over rows), and the collision overestimate (>= 0 by
     construction — the sketch's one-sided guarantee, verified row by row).
     """
+    # NOT checkpointed (r15 audit): sketch build and exact probe both
+    # evaluate the token explode, but it is pure codegen — the interleaved
+    # A/B read a within-action checkpoint as a loss here
     tok = load_table(spark, sf_dir, "documents").select(
         F.explode(words(F.col("text"))).alias("token")
     )

@@ -161,7 +161,9 @@ def _bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     # derive doc length from tf (already shuffled on doc_id) instead of
-    # re-exploding and re-shuffling the token stream a second time
+    # re-exploding and re-shuffling the token stream a second time; tf is
+    # deliberately NOT checkpointed — the r15 interleaved A/B read the
+    # materialization as a wash against recomputing the codegen chain
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     corpus = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")

@@ -140,8 +140,17 @@ def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-merge-joins on the term key."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(words(F.col("text"))).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # one tokenize+explode+aggregate per action (round 15): tf is lazily
+    # checkpointed and df derives FROM it — tf holds one row per distinct
+    # (doc, term), so count(*) per term over tf IS countDistinct(doc_id)
+    # over the raw tokens, without the countDistinct expand or a second
+    # evaluation of the explode chain (the r15 plan audit counted both).
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df_, "term")
