@@ -1051,24 +1051,19 @@ def hyperplane_lsh_pairs(
     # scored k times — identical floats each time (deterministic expression),
     # so distinct collapses them exactly; duplicate dots are cheap, duplicate
     # vector shuffles are not.
-    bv = (
-        _lsh_bucket_table(df, id_col, vec_col, planes, n_tables, bits)
-        .join(
-            df.select(
-                F.col(id_col).alias("id"),
-                F.col(vec_col).alias("__v"),
-                l2_norm(F.col(vec_col)).alias("__n"),
-            ),
-            "id",
-        )
-        # lazy-checkpoint before the self-join (round 15): both aliases
-        # otherwise re-execute the MapInPandas bucketing stage AND the
-        # vector join — the r15 plan audit counted the Python stage twice
-        # in the executed plan. One materialization (N x tables rows, the
-        # same data the join shuffles anyway) serves both sides; blocks
-        # are per-action, so no cross-run caching.
-        .localCheckpoint(eager=False)
+    bv = _lsh_bucket_table(df, id_col, vec_col, planes, n_tables, bits).join(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("__v"),
+            l2_norm(F.col(vec_col)).alias("__n"),
+        ),
+        "id",
     )
+    # NOT checkpointed (r15 audit): both self-join aliases re-execute the
+    # MapInPandas bucketing, but clean toggle-only A/Bs at sf0.1 AND a
+    # decade-1 fixture read a lazy localCheckpoint here as a wash (1.01x /
+    # 1.00x) — the within-bucket pair scoring dominates and the duplicate
+    # bucketing pass costs what materializing N x tables vector rows costs.
     x, y = bv.alias("x"), bv.alias("y")
     return (
         x.join(y, ["table", "bucket"])

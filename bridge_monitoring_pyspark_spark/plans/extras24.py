@@ -289,6 +289,12 @@ def _semdedup_prune_kmeans_capped(
     cdf = spark.createDataFrame(
         [(cid, vec) for cid, vec in model], "cid int, embedding array<double>"
     )
+    # NOT checkpointed (r15 audit): sizes and the split both consume the
+    # assignment, but a clean A/B toggling only a lazy checkpoint here read
+    # 1.01x at sf0.1 AND at a decade-1 embeddings fixture — the duplicate
+    # Arrow pass over the checkpointed points stays cheaper than
+    # materializing (vec_id, embedding, cid), exactly the trade the
+    # docstring above documents.
     m = nearest_centroids_arrow(pts, cdf, "vec_id", "embedding", "cid", 1)
     sizes = m.groupBy("cid").agg(F.count(F.lit(1)).alias("c_sz"))
     m_sub = (

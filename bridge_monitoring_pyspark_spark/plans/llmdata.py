@@ -249,14 +249,13 @@ def _neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact 3-word-shingle Jaccard >= 0.8, via the
     postings-list (inverted index) plan — no cartesian product, full
     codegen."""
-    # lazy-checkpoint the postings: the bruteforce plan evaluates this
-    # posexplode+window+distinct subtree THREE times in one action (both
-    # sides of the self-join + the sizes lookup — r15 plan audit counted
-    # the duplicated FileScan/Window chains); one materialization serves
-    # all three. Same within-action-reuse posture as sorted_once.
-    p = shingle_postings(
-        load_table(spark, sf_dir, "documents"), "doc_id", "text", SHINGLE_N
-    ).localCheckpoint(eager=False)
+    # NOT checkpointed (r15 audit): the bruteforce plan evaluates the
+    # postings three times, but a clean toggle-only A/B read the
+    # materialization as a wash (1.01x) — recompute of the codegen
+    # postings chain costs what storing it costs here. The minhash
+    # sibling below keeps its checkpoint (4 consumers incl. the
+    # 128-minhash signature pass; 1.12x clean A/B).
+    p = shingle_postings(load_table(spark, sf_dir, "documents"), "doc_id", "text", SHINGLE_N)
     return sorted_once(
         jaccard_pairs_bruteforce(p, JACCARD_THRESHOLD), "doc_a", "doc_b"
     )
